@@ -1,0 +1,282 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.geo.{CellIndex, Geo}
+
+/**
+ * Native Catalyst expressions for the cell index + geometry core — the
+ * engine's replacement for the reference's vendored osm2rdf geometry stage
+ * (reference: src/osm/Osm2ttl.cpp:91-112) and its external `osmium extract`
+ * spatial filter (reference: src/osm/OsmUpdater.cpp:281-304).
+ *
+ * Hot scalar paths (cell encode, tile id, distance, point format) implement
+ * `doGenCode` as static calls into the pure-Scala core, so they stay inside
+ * whole-stage codegen. Array- and WKT-shaped results use eval with a
+ * per-partition parse cache (`WktCache`) — parsing each distinct polygon WKT
+ * once per task, which is the moral equivalent of the reference broadcasting
+ * pre-parsed geometries.
+ */
+object WktCache {
+  private val cache = new ThreadLocal[java.util.LinkedHashMap[String, Geo.Polygon]] {
+    override def initialValue(): java.util.LinkedHashMap[String, Geo.Polygon] =
+      new java.util.LinkedHashMap[String, Geo.Polygon](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Geo.Polygon]): Boolean =
+          size() > 4096
+      }
+  }
+  def polygon(wkt: String): Geo.Polygon = {
+    val c = cache.get()
+    var p = c.get(wkt)
+    if (p == null) { p = Geo.parsePolygon(wkt); c.put(wkt, p) }
+    p
+  }
+}
+
+/** Static entry points referenced from generated Java code. */
+object GeoOps {
+  def cellEncode(lon: Double, lat: Double, res: Int): Long = CellIndex.encode(lon, lat, res)
+  def tileId(lon: Double, lat: Double, z: Int): Long = CellIndex.tileId(lon, lat, z)
+  def planarDist(x1: Double, y1: Double, x2: Double, y2: Double): Double = Geo.dist(x1, y1, x2, y2)
+  def haversine(x1: Double, y1: Double, x2: Double, y2: Double): Double =
+    Geo.haversineMeters(x1, y1, x2, y2)
+  def stPoint(lon: Double, lat: Double): UTF8String = UTF8String.fromString(Geo.fmtPoint(lon, lat))
+  def cellParent(cell: Long, res: Int): Long = CellIndex.parent(cell, res)
+  def stContains(wkt: UTF8String, lon: Double, lat: Double): Boolean =
+    WktCache.polygon(wkt.toString).contains(lon, lat)
+}
+
+/** cell_encode(lon, lat, res) -> sortable Z-order cell id. */
+case class CellEncode(lon: Expression, lat: Expression, res: Expression)
+    extends TernaryExpression {
+  override def first: Expression = lon
+  override def second: Expression = lat
+  override def third: Expression = res
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    GeoOps.cellEncode(a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.GeoOps.cellEncode($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(lon = f, lat = s, res = t)
+}
+
+/** tile_id(lon, lat, z) -> flat row-major tile id x * 2^z + y. */
+case class TileIdExpr(lon: Expression, lat: Expression, z: Expression)
+    extends TernaryExpression {
+  override def first: Expression = lon
+  override def second: Expression = lat
+  override def third: Expression = z
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    GeoOps.tileId(a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.GeoOps.tileId($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(lon = f, lat = s, z = t)
+}
+
+/** cell_parent(cell, parentRes) -> ancestor cell id. */
+case class CellParent(cell: Expression, res: Expression) extends BinaryExpression {
+  override def left: Expression = cell
+  override def right: Expression = res
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoOps.cellParent(a.asInstanceOf[Long], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeoOps.cellParent($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(cell = l, res = r)
+}
+
+/** cell_kring(cell, k) -> array<long> of same-resolution neighbors (sorted). */
+case class CellKRing(cell: Expression, k: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = cell
+  override def right: Expression = k
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(CellIndex.kRing(a.asInstanceOf[Long], b.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(cell = l, k = r)
+}
+
+/** cell_cover_wkt(polygonWkt, maxCells, maxRes) -> array<long> cell-union
+ * cover (S2 RegionCoverer analogue; superset prefilter for PIP). */
+case class CellCoverWkt(wkt: Expression, maxCells: Expression, maxRes: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = wkt
+  override def second: Expression = maxCells
+  override def third: Expression = maxRes
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val poly = WktCache.polygon(a.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(CellIndex.coverPolygon(poly, b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(wkt = f, maxCells = s, maxRes = t)
+}
+
+/** st_contains(polygonWkt, lon, lat) — exact edge-inclusive PIP refine. */
+case class StContains(wkt: Expression, lon: Expression, lat: Expression)
+    extends TernaryExpression {
+  override def first: Expression = wkt
+  override def second: Expression = lon
+  override def third: Expression = lat
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    GeoOps.stContains(a.asInstanceOf[UTF8String], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.GeoOps.stContains($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(wkt = f, lon = s, lat = t)
+}
+
+/** st_point(lon, lat) -> 'POINT(l.lllllll a.aaaaaaa)' at fixed precision 7. */
+case class StPoint(lon: Expression, lat: Expression) extends BinaryExpression {
+  override def left: Expression = lon
+  override def right: Expression = lat
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoOps.stPoint(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeoOps.stPoint($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(lon = l, lat = r)
+}
+
+/** planar_dist(x1, y1, x2, y2) — Euclidean degree-space distance (kNN metric). */
+case class PlanarDist(x1: Expression, y1: Expression, x2: Expression, y2: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = x1
+  override def second: Expression = y1
+  override def third: Expression = x2
+  override def fourth: Expression = y2
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoOps.planarDist(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.functions.GeoOps.planarDist($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(x1 = f, y1 = s, x2 = t, y2 = q)
+}
+
+/** haversine_m(lon1, lat1, lon2, lat2) — geodesic meters. */
+case class HaversineM(x1: Expression, y1: Expression, x2: Expression, y2: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = x1
+  override def second: Expression = y1
+  override def third: Expression = x2
+  override def fourth: Expression = y2
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoOps.haversine(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.functions.GeoOps.haversine($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(x1 = f, y1 = s, x2 = t, y2 = q)
+}
+
+/**
+ * Unary WKT -> derived-geometry family. One expression class per output,
+ * mirroring the derived columns osm2rdf materializes per geometry
+ * (centroid / envelope / convex hull / OBB / length / area; see reference
+ * golden fixtures tests/data/way.ttl).
+ */
+abstract class WktUnary extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  protected def coords(v: Any): (Array[Double], Array[Double]) =
+    Geo.parseCoords(v.asInstanceOf[UTF8String].toString)
+}
+
+case class StEnvelope(child: Expression) extends WktUnary {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any = {
+    val (xs, ys) = coords(v)
+    UTF8String.fromString(Geo.envelopeWkt(Geo.envelopeOf(xs, ys)))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StCentroid(child: Expression) extends WktUnary {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val (cx, cy) =
+      if (Geo.stripLiteral(s).startsWith("POLYGON")) Geo.parsePolygon(s).centroid
+      else { val (xs, ys) = Geo.parseCoords(s); Geo.lineCentroid(xs, ys) }
+    UTF8String.fromString(Geo.fmtPoint(cx, cy))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StLength(child: Expression) extends WktUnary {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any = {
+    val (xs, ys) = coords(v)
+    Geo.lineLength(xs, ys)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StArea(child: Expression) extends WktUnary {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    Geo.parsePolygon(v.asInstanceOf[UTF8String].toString).area
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StConvexHull(child: Expression) extends WktUnary {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any = {
+    val (xs, ys) = coords(v)
+    val (hx, hy) = Geo.convexHull(xs, ys)
+    UTF8String.fromString(Geo.fmtPolygon(hx, hy))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StObb(child: Expression) extends WktUnary {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any = {
+    val (xs, ys) = coords(v)
+    val (ox, oy) = Geo.obb(xs, ys)
+    UTF8String.fromString(Geo.fmtPolygon(ox, oy))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_x / st_y — coordinate extraction from a point WKT (typed-literal
+ * tolerant, like the reference's parseLonLatFromWktPoint,
+ * src/osm/OsmObjectHelper.cpp:94-138). */
+case class StX(child: Expression) extends WktUnary {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any = coords(v)._1(0)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StY(child: Expression) extends WktUnary {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any = coords(v)._2(0)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_makeline(array<struct<...lon, lat>>) is composed from built-ins in
+ * GeometryBuild (sort_array + aggregate + format_string) — no expression
+ * needed; kept out deliberately to maximize whole-stage codegen coverage. */
