@@ -1,13 +1,344 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.gen.DerivedTables
+import graft.ops.{ChangeBatch, DeltaApply, GeometryBuild, SpatialJoins}
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2, with matching DuckDB `oracleSql` over the same parquet
+ * tables (derivations shared verbatim via DerivedTables).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Register functions + input views; returns the session for chaining. */
+  private def prep(spark: SparkSession, dir: String): SparkSession = {
+    GraftFunctions.register(spark)
+    DerivedTables.register(spark, dir)
+    spark
+  }
+
+  private def W(names: String*): String = DerivedTables.withClause(names: _*)
+
+  /** Rectangles as WKT polygons (engine side of the PIP build input). */
+  private def rectPolys(spark: SparkSession): DataFrame =
+    spark.table("rects").selectExpr(
+      "poly_id",
+      """concat('POLYGON((',
+         format_string('%.7f %.7f', cx - hw, cy - hh), ',',
+         format_string('%.7f %.7f', cx + hw, cy - hh), ',',
+         format_string('%.7f %.7f', cx + hw, cy + hh), ',',
+         format_string('%.7f %.7f', cx - hw, cy + hh), ',',
+         format_string('%.7f %.7f', cx - hw, cy - hh), '))') AS wkt""")
+
+  /** Flagship query (driver smoke test at sf0.001): the PIP join. */
+  def entry(spark: SparkSession): DataFrame = {
+    prep(spark, "/root/testdata/sf0.001")
+    SpatialJoins.pipJoin(spark.table("points"), rectPolys(spark))
+  }
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- spatial suite (north rule operators) ---
+    "pip_join" -> ((s, dir) => {
+      prep(s, dir)
+      SpatialJoins.pipJoin(s.table("points"), rectPolys(s))
+        .select(col("pid").cast("long"), col("poly_id").cast("long"))
+    }),
+    "knn_join" -> ((s, dir) => {
+      prep(s, dir)
+      SpatialJoins.knnJoin(s.table("query_points"), s.table("points"), k = 5)
+        .select(col("qid").cast("long"), col("pid").cast("long"), col("rank").cast("long"))
+    }),
+    "tile_assign" -> ((s, dir) => {
+      prep(s, dir)
+      SpatialJoins.tileAssign(s.table("points"), z = 6)
+        .select(col("pid").cast("long"), col("tile_id"))
+    }),
+    "tile_join" -> ((s, dir) => {
+      prep(s, dir)
+      SpatialJoins.tileJoin(s.table("points"), s.table("raster_tiles"), z = 6)
+        .select(col("pid").cast("long"), col("tile_id"))
+    }),
+    "tile_histogram" -> ((s, dir) => {
+      prep(s, dir)
+      SpatialJoins.tileHistogram(s.table("points"), z = 6)
+        .select(col("tile_id"), col("cnt").cast("long"))
+    }),
+    "cell_index" -> ((s, dir) => {
+      prep(s, dir)
+      s.table("points").select(col("pid").cast("long"),
+        GraftFunctions.cell_encode(col("lon"), col("lat"), lit(12)).as("cell"))
+    }),
+
+    // --- change-batch pipeline (reference OsmChangeHandler semantics) ---
+    "p1_classify" -> ((s, dir) => {
+      prep(s, dir)
+      ChangeBatch.classify(s.table("changes"))
+        .select(col("eid"), col("obj_type"), col("id"), col("action2"))
+    }),
+    "o1_dedup_latest" -> ((s, dir) => {
+      prep(s, dir)
+      ChangeBatch.dedupLatestVersion(s.table("changes"))
+        .select(col("obj_type"), col("id"), col("eid"), col("version").cast("long"))
+    }),
+    "j2_location_diff" -> ((s, dir) => {
+      prep(s, dir)
+      val modified = ChangeBatch.dedupLatestVersion(s.table("changes"))
+        .filter(col("obj_type") === "node" && col("action") === "modify")
+        .select("id", "lon", "lat")
+      ChangeBatch.locationDiff(modified, s.table("node_geoms"))
+        .select(col("id"), col("status"))
+    }),
+    "j3_dirty_ways" -> ((s, dir) => {
+      prep(s, dir)
+      val compacted = ChangeBatch.dedupLatestVersion(s.table("changes"))
+      val (dirtyWays, _) = ChangeBatch.dependencyClosure(compacted,
+        s.table("node_geoms"), s.table("way_members"), s.table("rel_members"))
+      dirtyWays.select(col("way_id"))
+    }),
+    "j45_dirty_rels" -> ((s, dir) => {
+      prep(s, dir)
+      val compacted = ChangeBatch.dedupLatestVersion(s.table("changes"))
+      val (_, dirtyRels) = ChangeBatch.dependencyClosure(compacted,
+        s.table("node_geoms"), s.table("way_members"), s.table("rel_members"))
+      dirtyRels.select(col("rel_id"))
+    }),
+    "j7_referenced_nodes" -> ((s, dir) => {
+      prep(s, dir)
+      val compacted = ChangeBatch.dedupLatestVersion(s.table("changes"))
+      val changeWayIds = compacted.filter(col("obj_type") === "way").select("id")
+        .withColumnRenamed("id", "way_id")
+      val changeNodeIds = compacted.filter(col("obj_type") === "node").select("id")
+      ChangeBatch.referencedNodesOfWays(changeWayIds, s.table("way_members"), changeNodeIds)
+        .select(col("node_id"))
+    }),
+    "j8_rel_member_split" -> ((s, dir) => {
+      prep(s, dir)
+      val compacted = ChangeBatch.dedupLatestVersion(s.table("changes"))
+      val changeRelIds = compacted.filter(col("obj_type") === "relation")
+        .select(col("id").as("rel_id"))
+      val (nodeIds, wayIds) = ChangeBatch.relationMemberSplit(changeRelIds, s.table("rel_members"))
+      nodeIds.withColumn("member_type", lit("node"))
+        .withColumnRenamed("node_id", "member_id")
+        .unionByName(wayIds.withColumn("member_type", lit("way"))
+          .withColumnRenamed("way_id", "member_id"))
+    }),
+    "merge_upsert" -> ((s, dir) => {
+      prep(s, dir)
+      val compacted = ChangeBatch.dedupLatestVersion(s.table("changes"))
+        .filter(col("obj_type") === "node")
+        .select(col("id"), col("action"), col("lon"), col("lat"))
+      DeltaApply.applyChangeBatch(s.table("node_geoms"), compacted)
+    }),
+
+    // --- geometry build (osm2rdf replacement) ---
+    "way_geoms" -> ((s, dir) => {
+      prep(s, dir)
+      GeometryBuild.buildWayGeoms(s.table("way_members"), s.table("node_geoms"),
+        withDerived = false)
+        .select(col("way_id"), col("wkt"), col("n_points").cast("long"))
+    }),
+    "node_points" -> ((s, dir) => {
+      prep(s, dir)
+      GeometryBuild.buildNodeGeoms(s.table("node_geoms"))
+        .select(col("id"), col("wkt"), col("cell"))
+    }),
+
+    // --- watermark / meta aggregations ---
+    "a1_max_timestamp" -> ((s, dir) => {
+      prep(s, dir)
+      s.table("events").agg(max(col("ts")).as("max_ts"))
+    }),
+    "a5_latest_state" -> ((s, dir) => {
+      prep(s, dir)
+      s.table("changes").orderBy(col("ts").desc, col("seq").desc)
+        .select(col("seq"), col("ts")).limit(1)
+    }),
+
+    // --- span invariant over the interleaved docs table (input_hint) ---
+    "span_fingerprint" -> ((s, dir) => {
+      prep(s, dir)
+      val docs = s.table("doc_spans")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("span_pos"), col("kind"),
+          col("text"), col("media_ref")))).as("spans"))
+      docs.select(col("doc_id"),
+        md5(array_join(transform(col("spans"),
+          sp => concat_ws("|", sp.getField("kind"), sp.getField("text"),
+            sp.getField("media_ref"))), ";")).as("fp"))
+    }),
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** Morton cell id SQL (DuckDB side of cell_encode): res<<56 | interleave. */
+  private def mortonOracle(res: Int, lonCol: String, latCol: String): String = {
+    val n = 1L << res
+    val x = s"LEAST(GREATEST(CAST(FLOOR((($lonCol + 180.0) / 360.0) * $n.0) AS BIGINT), 0), ${n - 1})"
+    val y = s"LEAST(GREATEST(CAST(FLOOR((($latCol + 90.0) / 180.0) * $n.0) AS BIGINT), 0), ${n - 1})"
+    val terms = (0 until res).flatMap { b =>
+      Seq(s"((xx >> $b) & 1) * ${1L << (2 * b)}", s"((yy >> $b) & 1) * ${1L << (2 * b + 1)}")
+    }
+    s"(SELECT ${res.toLong << 56} + ${terms.mkString(" + ")} FROM (SELECT $x AS xx, $y AS yy) mm)"
+  }
+
+  private val tileXySql =
+    """LEAST(GREATEST(CAST(FLOOR(((lon + 180.0) / 360.0) * 64.0) AS BIGINT), 0), 63) * 64
+     + LEAST(GREATEST(CAST(FLOOR(((lat + 90.0) / 180.0) * 64.0) AS BIGINT), 0), 63)"""
+
+  /** The O1 compaction window, shared by several oracles. */
+  private val dedupSql = """
+    SELECT * FROM (
+      SELECT c.*, ROW_NUMBER() OVER (
+        PARTITION BY obj_type, id
+        ORDER BY version DESC, deleted DESC, ts DESC, eid DESC) AS rn
+      FROM changes c) t WHERE rn = 1"""
+
+  def oracleSql: Map[String, String] = Map(
+    "pip_join" -> s"""${W("points", "rects")}
+      SELECT CAST(p.pid AS BIGINT) AS pid, CAST(r.poly_id AS BIGINT) AS poly_id
+      FROM points p JOIN (
+        SELECT poly_id,
+               CAST(printf('%.7f', cx - hw) AS DOUBLE) AS x0,
+               CAST(printf('%.7f', cx + hw) AS DOUBLE) AS x1,
+               CAST(printf('%.7f', cy - hh) AS DOUBLE) AS y0,
+               CAST(printf('%.7f', cy + hh) AS DOUBLE) AS y1
+        FROM rects) r
+        ON p.lon >= r.x0 AND p.lon <= r.x1
+       AND p.lat >= r.y0 AND p.lat <= r.y1""",
+
+    "knn_join" -> s"""${W("query_points", "points")}
+      SELECT CAST(qid AS BIGINT) AS qid, CAST(pid AS BIGINT) AS pid,
+             CAST(rank AS BIGINT) AS rank
+      FROM (
+        SELECT q.qid, p.pid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY sqrt((p.lon - q.qlon) * (p.lon - q.qlon)
+                             + (p.lat - q.qlat) * (p.lat - q.qlat)), p.pid) AS rank
+        FROM query_points q CROSS JOIN points p) t
+      WHERE rank <= 5""",
+
+    "tile_assign" -> s"""${W("points")}
+      SELECT CAST(pid AS BIGINT) AS pid, $tileXySql AS tile_id FROM points""",
+
+    "tile_join" -> s"""${W("points", "raster_tiles")}
+      SELECT CAST(p.pid AS BIGINT) AS pid, t.tile_id AS tile_id
+      FROM (SELECT pid, $tileXySql AS tile_id FROM points) p
+      JOIN raster_tiles t ON p.tile_id = t.tile_id""",
+
+    "tile_histogram" -> s"""${W("points")}
+      SELECT tile_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT $tileXySql AS tile_id FROM points) p GROUP BY tile_id""",
+
+    "cell_index" -> s"""${W("points")}
+      SELECT CAST(pid AS BIGINT) AS pid, ${mortonOracle(12, "lon", "lat")} AS cell
+      FROM points""",
+
+    "p1_classify" -> s"""${W("changes")}
+      SELECT eid, obj_type, id,
+             CASE WHEN deleted = 1 THEN 'delete'
+                  WHEN version = 1 THEN 'create'
+                  ELSE 'modify' END AS action2
+      FROM changes""",
+
+    "o1_dedup_latest" -> s"""${W("changes")}
+      SELECT obj_type, id, eid, CAST(version AS BIGINT) AS version
+      FROM ($dedupSql) d""",
+
+    "j2_location_diff" -> s"""${W("changes", "node_geoms")}
+      SELECT m.id AS id,
+             CASE WHEN g.id IS NULL THEN 'create'
+                  WHEN g.lon = m.lon AND g.lat = m.lat THEN 'modified'
+                  ELSE 'moved' END AS status
+      FROM ($dedupSql) m LEFT OUTER JOIN node_geoms g ON m.id = g.id
+      WHERE m.obj_type = 'node' AND m.action = 'modify'""",
+
+    "j3_dirty_ways" -> s"""${W("changes", "node_geoms", "way_members")},
+      compacted AS ($dedupSql),
+      dirty_nodes AS (
+        SELECT m.id FROM compacted m LEFT OUTER JOIN node_geoms g ON m.id = g.id
+        WHERE m.obj_type = 'node' AND m.action = 'modify'
+          AND NOT (g.id IS NOT NULL AND g.lon = m.lon AND g.lat = m.lat)
+          AND g.id IS NOT NULL
+        UNION
+        SELECT id FROM compacted WHERE obj_type = 'node' AND action = 'delete')
+      SELECT DISTINCT w.way_id AS way_id
+      FROM way_members w JOIN dirty_nodes d ON w.node_id = d.id
+      WHERE w.way_id NOT IN (SELECT id FROM compacted WHERE obj_type = 'way')""",
+
+    "j45_dirty_rels" -> s"""${W("changes", "node_geoms", "way_members", "rel_members")},
+      compacted AS ($dedupSql),
+      dirty_nodes AS (
+        SELECT m.id FROM compacted m LEFT OUTER JOIN node_geoms g ON m.id = g.id
+        WHERE m.obj_type = 'node' AND m.action = 'modify'
+          AND NOT (g.id IS NOT NULL AND g.lon = m.lon AND g.lat = m.lat)
+          AND g.id IS NOT NULL
+        UNION
+        SELECT id FROM compacted WHERE obj_type = 'node' AND action = 'delete'),
+      dirty_ways AS (
+        SELECT DISTINCT w.way_id
+        FROM way_members w JOIN dirty_nodes d ON w.node_id = d.id
+        WHERE w.way_id NOT IN (SELECT id FROM compacted WHERE obj_type = 'way')),
+      updated_ways AS (
+        SELECT way_id FROM dirty_ways
+        UNION SELECT id AS way_id FROM compacted WHERE obj_type = 'way')
+      SELECT rel_id FROM (
+        SELECT DISTINCT r.rel_id
+        FROM rel_members r JOIN dirty_nodes d
+          ON r.member_id = d.id AND r.member_type = 'node'
+        UNION
+        SELECT DISTINCT r.rel_id
+        FROM rel_members r JOIN updated_ways u
+          ON r.member_id = u.way_id AND r.member_type = 'way') x
+      WHERE rel_id NOT IN (SELECT id FROM compacted WHERE obj_type = 'relation')""",
+
+    "j7_referenced_nodes" -> s"""${W("changes", "way_members")},
+      compacted AS ($dedupSql)
+      SELECT DISTINCT w.node_id AS node_id
+      FROM way_members w
+      WHERE w.way_id IN (SELECT id FROM compacted WHERE obj_type = 'way')
+        AND w.node_id NOT IN (SELECT id FROM compacted WHERE obj_type = 'node')""",
+
+    "j8_rel_member_split" -> s"""${W("changes", "rel_members")},
+      compacted AS ($dedupSql)
+      SELECT DISTINCT r.member_id AS member_id, r.member_type AS member_type
+      FROM rel_members r
+      WHERE r.rel_id IN (SELECT id FROM compacted WHERE obj_type = 'relation')
+        AND r.member_type IN ('node', 'way')""",
+
+    "merge_upsert" -> s"""${W("changes", "node_geoms")},
+      compacted AS ($dedupSql),
+      node_batch AS (SELECT id, action, lon, lat FROM compacted WHERE obj_type = 'node')
+      SELECT g.id AS id, g.lon AS lon, g.lat AS lat
+      FROM node_geoms g WHERE g.id NOT IN (SELECT id FROM node_batch)
+      UNION ALL
+      SELECT id, lon, lat FROM node_batch WHERE action <> 'delete'""",
+
+    "way_geoms" -> s"""${W("way_members", "node_geoms")}
+      SELECT w.way_id AS way_id,
+             'LINESTRING(' || string_agg(printf('%.7f %.7f', g.lon, g.lat), ',' ORDER BY w.pos, w.node_id) || ')' AS wkt,
+             CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM way_members w JOIN node_geoms g ON w.node_id = g.id
+      GROUP BY w.way_id""",
+
+    "node_points" -> s"""${W("node_geoms")}
+      SELECT id, 'POINT(' || printf('%.7f %.7f', lon, lat) || ')' AS wkt,
+             ${mortonOracle(12, "lon", "lat")} AS cell
+      FROM node_geoms""",
+
+    "a1_max_timestamp" -> "SELECT MAX(ts) AS max_ts FROM events",
+
+    "a5_latest_state" -> s"""${W("changes")}
+      SELECT seq, ts FROM changes ORDER BY ts DESC, seq DESC LIMIT 1""",
+
+    "span_fingerprint" -> s"""${W("doc_spans")}
+      SELECT doc_id,
+             md5(string_agg(kind || '|' || text || '|' || media_ref, ';' ORDER BY span_pos)) AS fp
+      FROM doc_spans GROUP BY doc_id""",
+  )
 }

@@ -1,0 +1,157 @@
+package graft.lineage
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/**
+ * Per-partition lineage + watermarked snapshot store (FIXTURES.md §5; north
+ * rule: "resumable from checkpoint with per-partition lineage + metrics").
+ *
+ * The reference persists its watermark *in the store itself* as
+ * `updatesCompleteUntil` metadata triples and resumes at watermark + 1
+ * (reference: src/osm/OsmUpdater.cpp:169-236, 356-399;
+ * src/osm/OsmDataFetcherQLever.cpp:414-442). Here each applied change
+ * sequence commits one snapshot directory:
+ *
+ *   root/seq=N/<table>/          parquet, range-partitioned by cell
+ *   root/seq=N/lineage/          parquet (stage, partition_id, cell_lo,
+ *                                cell_hi, row_count, applied_seq)
+ *   root/seq=N/_COMMITTED        atomic marker (temp-file + move)
+ *
+ * Resume = max committed N; a killed job re-runs only uncommitted sequences,
+ * never recomputing clean snapshots (idempotent because the change pipeline
+ * is deterministic and compaction is last-writer-wins).
+ *
+ * Because snapshots are range-partitioned on the Z-order `cell` column, each
+ * task's rows form a contiguous cell range, so (min, max) per partition is a
+ * faithful coverage descriptor — the property CellIndex's Morton layout was
+ * chosen for.
+ */
+class SnapshotStore(val root: String) {
+
+  private def seqDir(seq: Long) = s"$root/seq=$seq"
+  private def marker(seq: Long) = Paths.get(s"${seqDir(seq)}/_COMMITTED")
+
+  def isCommitted(seq: Long): Boolean = Files.exists(marker(seq))
+
+  /** Highest committed sequence number, if any (the resume watermark). */
+  def watermark(): Option[Long] = {
+    val p = Paths.get(root)
+    if (!Files.exists(p)) return None
+    val it = Files.list(p).iterator()
+    var max = Option.empty[Long]
+    while (it.hasNext) {
+      val d = it.next()
+      val name = d.getFileName.toString
+      if (name.startsWith("seq=")) {
+        val seq = name.stripPrefix("seq=").toLong
+        if (isCommitted(seq) && max.forall(_ < seq)) max = Some(seq)
+      }
+    }
+    max
+  }
+
+  /** Range-partition by cell and write one table + its lineage rows. */
+  def writeTable(df: DataFrame, seq: Long, table: String, cellCol: String,
+                 partitions: Int): Unit = {
+    val dir = s"${seqDir(seq)}/$table"
+    val parted = df.repartitionByRange(partitions, col(cellCol))
+    parted.write.mode("overwrite").parquet(dir)
+    val lineage = parted
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(
+        min(col(cellCol)).as("cell_lo"),
+        max(col(cellCol)).as("cell_hi"),
+        count(lit(1)).as("row_count"))
+      .withColumn("stage", lit(table))
+      .withColumn("applied_seq", lit(seq))
+    lineage.write.mode("append").parquet(s"${seqDir(seq)}/lineage")
+  }
+
+  /** Atomic commit marker: temp file + move, so a killed writer never leaves
+   * a half-committed sequence looking committed. */
+  def commit(seq: Long): Unit = {
+    val tmp = Paths.get(s"${seqDir(seq)}/_COMMITTING")
+    Files.createDirectories(Paths.get(seqDir(seq)))
+    Files.writeString(tmp, s"""{"applied_seq":$seq}""")
+    Files.move(tmp, marker(seq), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readTable(spark: SparkSession, seq: Long, table: String): DataFrame =
+    spark.read.parquet(s"${seqDir(seq)}/$table")
+
+  def readLineage(spark: SparkSession, seq: Long): DataFrame =
+    spark.read.parquet(s"${seqDir(seq)}/lineage")
+}
+
+/**
+ * The incremental update job: apply change batches seq-by-seq against the
+ * node snapshot, recomputing way geometry only for dirty ways — the full
+ * OsmChangeHandler::run dataflow (reference: src/osm/OsmChangeHandler.cpp:
+ * 60-178) as one resumable Spark pipeline.
+ */
+object UpdateJob {
+  import graft.ops.{ChangeBatch, DeltaApply, GeometryBuild}
+
+  case class RunReport(appliedSeqs: Seq[Long], skippedSeqs: Seq[Long])
+
+  private def emptyRelMembers(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("rel_id", LongType), StructField("member_id", LongType),
+        StructField("member_type", StringType), StructField("role", StringType),
+        StructField("pos", IntegerType))))
+  }
+
+  /**
+   * @param changes   full changes table (seq, eid, obj_type, id, ...)
+   * @param nodeGeoms initial node snapshot (id, lon, lat) — used only when
+   *                  no committed snapshot exists yet
+   */
+  def run(spark: SparkSession, store: SnapshotStore, changes: DataFrame,
+          nodeGeoms: DataFrame, wayMembers: DataFrame,
+          fromSeq: Long, toSeq: Long,
+          cellRes: Int = 12, partitions: Int = 8): RunReport = {
+    var applied = List.empty[Long]
+    var skipped = List.empty[Long]
+    var snapshot = store.watermark() match {
+      case Some(w) if w >= fromSeq - 1 =>
+        store.readTable(spark, w, "node_geoms").select("id", "lon", "lat")
+      case _ => nodeGeoms
+    }
+    val startSeq = math.max(fromSeq, store.watermark().map(_ + 1).getOrElse(fromSeq))
+    (fromSeq until startSeq).foreach(s => skipped ::= s)
+
+    var seq = startSeq
+    while (seq <= toSeq) {
+      val batch = changes.filter(col("seq") === seq)
+      val compacted = ChangeBatch.dedupLatestVersion(ChangeBatch.classify(batch))
+      val nodeBatch = compacted.filter(col("obj_type") === "node")
+        .select(col("id"), col("action"), col("lon"), col("lat"))
+      snapshot = DeltaApply.applyChangeBatch(snapshot, nodeBatch)
+        .select("id", "lon", "lat")
+        .localCheckpoint(true) // cut lineage: each seq builds on materialized state
+
+      // dirty-geometry recompute, scoped to affected ways only
+      val (dirtyWays, _) = ChangeBatch.dependencyClosure(
+        compacted, snapshot, wayMembers, emptyRelMembers(spark))
+      val dirtyMembers = wayMembers.join(dirtyWays.hint("broadcast"), Seq("way_id"), "left_semi")
+      val rebuiltGeoms = GeometryBuild.buildWayGeoms(dirtyMembers, snapshot, withDerived = false)
+        .withColumn("cell", cell_encode(st_x(col("wkt")), st_y(col("wkt")), lit(cellRes)))
+
+      val snapCells = snapshot.withColumn("cell",
+        cell_encode(col("lon"), col("lat"), lit(cellRes)))
+      store.writeTable(snapCells, seq, "node_geoms", "cell", partitions)
+      store.writeTable(rebuiltGeoms, seq, "dirty_way_geoms", "cell", partitions)
+      store.commit(seq)
+      applied ::= seq
+      seq += 1
+    }
+    RunReport(applied.reverse, skipped.reverse)
+  }
+}
