@@ -42,7 +42,10 @@ object SparkEntry {
 
   // ------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ TrainingQueries.queries ++ CoverageQueries.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- spatial suite (north rule operators) ---
     "pip_join" -> ((s, dir) => {
       prep(s, dir)
@@ -340,5 +343,5 @@ object SparkEntry {
       SELECT doc_id,
              md5(string_agg(kind || '|' || text || '|' || media_ref, ';' ORDER BY span_pos)) AS fp
       FROM doc_spans GROUP BY doc_id""",
-  )
+  ) ++ TrainingQueries.oracleSql ++ CoverageQueries.oracleSql
 }

@@ -1,0 +1,301 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.Similarity
+import graft.gen.DerivedTables
+import graft.media.Multimodal
+import graft.text.{Dedup, TextAnalysis}
+import graft.text.TextParams._
+
+/**
+ * Training-data pipeline queries + their DuckDB oracles: deduplication
+ * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
+ * similarity search (brute-force + SRP-LSH top-k), text analysis (token
+ * stats, quality, language-id, fingerprints) and multimodal decode plumbing.
+ *
+ * Oracle fidelity: every float is produced by *sequential-fold* arithmetic
+ * and every hash by shared integer folds (TextParams.sql*), so Spark and
+ * DuckDB results are bit-identical — the same guarantee the geo suite gets
+ * from integer cell ids.
+ */
+object TrainingQueries {
+
+  private val EmbDim = 64
+  private val TopK = 5
+  private val QueryMod = 25
+  private val NumPlanes = 8
+
+  // ----------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
+    "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
+
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
+    "minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(docs(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(docs(s, dir))),
+    "simhash_sig" -> ((s, dir) => Dedup.simhashes(docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+
+    "embed_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), CosineThreshold)),
+    "ann_topk" -> ((s, dir) =>
+      Similarity.bruteTopK(emb(s, dir).filter(col("vec_id") % QueryMod === 0),
+        emb(s, dir), TopK)),
+    "ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(emb(s, dir).filter(col("vec_id") % QueryMod === 0),
+        emb(s, dir), TopK, NumPlanes, EmbDim)),
+    "srp_bucket" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+        Similarity.srpBucket(col("embedding"), NumPlanes, EmbDim).as("bucket"))),
+
+    "media_decode" -> ((s, dir) => Multimodal.decodeMeta(media(s, dir))),
+    "media_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.decodeMeta(media(s, dir)))),
+    "media_resize" -> ((s, dir) =>
+      Multimodal.resizeMeta(Multimodal.decodeMeta(media(s, dir)))),
+    // typed batch path (mapPartitions decode stub): rows-only check
+    "media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, media(s, dir)).toDF()
+        .select(col("doc_id"), col("media_ref"), col("width"), col("height"),
+          col("n_frames"))),
+  )
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    s.read.parquet(s"$dir/documents.parquet")
+  }
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    s.read.parquet(s"$dir/embeddings.parquet")
+  }
+  private def media(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    DerivedTables.register(s, dir)
+    Multimodal.mediaTable(s.table("doc_spans"))
+  }
+
+  // ----------------------------------------------------------------- oracles
+
+  /** tokenized documents CTE */
+  private val tdocs =
+    s"tdocs AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents)"
+
+  /** distinct-shingle inverted index + per-doc set sizes + pair intersections */
+  private val shingleCtes = s"""
+    sidx AS (SELECT doc_id, unnest(${sqlShingles("toks")}) AS shingle FROM tdocs),
+    ssizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
+    sinter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sidx a JOIN sidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)"""
+
+  private val jaccardSelect = s"""
+    SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+           i.i / (sa.n + sb.n - i.i) AS jaccard
+    FROM sinter i
+    JOIN ssizes sa ON sa.doc_id = i.doc_a
+    JOIN ssizes sb ON sb.doc_id = i.doc_b
+    WHERE i.i / (sa.n + sb.n - i.i) >= $JaccardThreshold"""
+
+  /** minhash signature list expression over a shingle-hash list column hs */
+  private def sigExpr: String =
+    "[" + (0 until NumHashes).map { j =>
+      s"list_min(list_transform(hs, h -> (h * ${aCoef(j)} + ${bCoef(j)}) % $P1))"
+    }.mkString(", ") + "]"
+
+  private val minhashCtes = s"""
+    hdocs AS (SELECT doc_id, list_transform(${sqlShingles("toks")}, s -> ${sqlCharHash("s", M1, P1)}) AS hs FROM tdocs),
+    sigs AS (SELECT doc_id, $sigExpr AS sig FROM hdocs)"""
+
+  private val simhashCtes = s"""
+    stok AS (SELECT doc_id, unnest(toks) AS tk FROM tdocs),
+    sth AS (SELECT doc_id, ${sqlHash60("tk")} AS h FROM stok),
+    votes AS (
+      SELECT doc_id, ks.k AS k, sum(((h >> ks.k) & 1) * 2 - 1) AS vote
+      FROM sth, (SELECT unnest(range(0, $SimHashBits)) AS k) ks
+      GROUP BY doc_id, ks.k),
+    shash AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id)"""
+
+  /** fingerprint lane: fold token H1-hashes with multiplier m mod p */
+  private def fpLane(m: Long, p: Long): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> ${sqlCharHash("t", M1, P1)})), (a, b) -> (a * $m + b) % $p)"
+
+  /** embeddings with sequential-fold norms */
+  private val embCte = s"""
+    p AS (SELECT vec_id, embedding AS e,
+                 sqrt(${sqlDotSeq("embedding", "embedding", EmbDim)}) AS n
+          FROM embeddings)"""
+
+  private def pairCos(a: String, b: String): String =
+    s"${sqlDotSeq(s"$a.e", s"$b.e", EmbDim)} / ($a.n * $b.n)"
+
+  /** SRP bucket expression over an embedding column e */
+  private def bucketExpr(e: String): String =
+    (0 until NumPlanes).map { j =>
+      val w = "[" + Similarity.planeWeights(NumPlanes, EmbDim)(j).mkString(", ") + "]"
+      s"(CASE WHEN ${sqlDotSeq(w, e, EmbDim)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def langScore(markers: Seq[String]): String =
+    s"CAST(len(list_filter(toks, t -> list_contains(${markers.mkString("['", "', '", "']")}, t))) AS BIGINT)"
+
+  private val mediaCte = s"""
+    m AS (SELECT doc_id, media_ref, md5(doc_id || ':' || media_ref) AS h
+          FROM doc_spans WHERE kind = 'media'),
+    dm AS (SELECT doc_id, media_ref,
+                  CAST(length(h) // 2 AS BIGINT) AS n_bytes,
+                  ${sqlHexInt("substr(h, 1, 2)")} + 16 AS width,
+                  ${sqlHexInt("substr(h, 3, 2)")} + 16 AS height,
+                  ${sqlHexInt("substr(h, 5, 1)")} + 1 AS n_frames
+           FROM m)"""
+
+  private def W(names: String*): String = DerivedTables.withClause(names: _*)
+
+  def oracleSql: Map[String, String] = Map(
+    "text_tokens" -> s"""WITH $tdocs
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM tdocs""",
+
+    "text_quality" -> s"""WITH $tdocs,
+      q AS (
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+          CAST(list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks) AS mean_token_len,
+          CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+          CAST(len(list_filter(toks, t -> list_contains(${stopwords.mkString("['", "', '", "']")}, t))) AS DOUBLE) / len(toks) AS stopword_ratio
+        FROM tdocs)
+      SELECT doc_id, n_tokens, ttr, mean_token_len, alpha_ratio, stopword_ratio,
+             ttr * 0.4 + alpha_ratio * 0.4 + (1.0 - stopword_ratio) * 0.2 AS quality_score
+      FROM q""",
+
+    "lang_id" -> {
+      val scores = TextAnalysis.langMarkers
+        .map { case (l, m) => s"${langScore(m)} AS score_$l" }.mkString(",\n          ")
+      val names = TextAnalysis.langMarkers.map(_._1)
+      val m = names.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val argmax = names.map(l => s"WHEN score_$l = $m THEN '$l'").mkString(" ")
+      s"""WITH $tdocs,
+      sc AS (
+        SELECT doc_id,
+          $scores
+        FROM tdocs)
+      SELECT doc_id, ${names.map(l => s"score_$l").mkString(", ")},
+             CASE WHEN $m = 0 THEN 'und' $argmax END AS lang_pred
+      FROM sc"""
+    },
+
+    "doc_fingerprint" -> s"""WITH $tdocs
+      SELECT doc_id,
+             (${fpLane(FpM1, P1)} | (${fpLane(FpM2, P2)} << $H2Shift)) AS fp
+      FROM tdocs""",
+
+    "dedup_exact" -> s"""
+      WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+      k AS (SELECT content_hash, min(doc_id) AS keeper_id,
+                   CAST(count(*) AS BIGINT) AS group_size
+            FROM h GROUP BY content_hash)
+      SELECT h.doc_id AS doc_id, h.content_hash AS content_hash, k.keeper_id,
+             k.group_size, h.doc_id = k.keeper_id AS keep
+      FROM h JOIN k USING (content_hash)""",
+
+    "dedup_ngram_jaccard" -> s"WITH $tdocs, $shingleCtes $jaccardSelect",
+
+    "minhash_sig" -> s"""WITH $tdocs, $minhashCtes
+      SELECT doc_id, sig FROM sigs""",
+
+    "dedup_minhash_lsh" -> s"""WITH $tdocs, $minhashCtes,
+      bandrows AS (
+        SELECT doc_id, bs.b AS band,
+               array_to_string(list_slice(sig, bs.b * $RowsPerBand + 1, bs.b * $RowsPerBand + $RowsPerBand), ',') AS bkey
+        FROM sigs, (SELECT unnest(range(0, $Bands)) AS b) bs),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bandrows a JOIN bandrows b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      $shingleCtes
+      SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+             i.i / (sa.n + sb.n - i.i) AS jaccard
+      FROM cand c
+      JOIN sinter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN ssizes sa ON sa.doc_id = c.doc_a
+      JOIN ssizes sb ON sb.doc_id = c.doc_b
+      WHERE i.i / (sa.n + sb.n - i.i) >= $JaccardThreshold""",
+
+    "simhash_sig" -> s"""WITH $tdocs, $simhashCtes
+      SELECT doc_id, simhash FROM shash""",
+
+    "dedup_simhash" -> {
+      val bits = SimHashBits / SimHashBands
+      s"""WITH $tdocs, $simhashCtes,
+      bandrows AS (
+        SELECT doc_id, simhash, bs.b AS band,
+               (simhash >> (bs.b * $bits)) & ${(1L << bits) - 1} AS bkey
+        FROM shash, (SELECT unnest(range(0, $SimHashBands)) AS b) bs),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM bandrows a JOIN bandrows b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= $MaxHamming"""
+    },
+
+    "embed_near_dup" -> s"""WITH $embCte,
+      pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${pairCos("a", "b")} AS cos
+        FROM p a JOIN p b ON a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= $CosineThreshold""",
+
+    "ann_topk" -> s"""WITH $embCte,
+      q AS (SELECT * FROM p WHERE vec_id % $QueryMod = 0),
+      s AS (SELECT q.vec_id AS qid, t.vec_id AS vid, ${pairCos("q", "t")} AS cos
+            FROM q CROSS JOIN p t),
+      r AS (SELECT qid, vid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+            FROM s)
+      SELECT qid, vid, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= $TopK""",
+
+    "ann_lsh_topk" -> s"""WITH $embCte,
+      pb AS (SELECT vec_id, e, n, ${bucketExpr("e")} AS bucket FROM p),
+      q AS (SELECT * FROM pb WHERE vec_id % $QueryMod = 0),
+      s AS (SELECT q.vec_id AS qid, t.vec_id AS vid, ${pairCos("q", "t")} AS cos
+            FROM q JOIN pb t ON q.bucket = t.bucket),
+      r AS (SELECT qid, vid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+            FROM s)
+      SELECT qid, vid, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= $TopK""",
+
+    "srp_bucket" -> s"""
+      SELECT vec_id, ${bucketExpr("embedding")} AS bucket FROM embeddings""",
+
+    "media_decode" -> s"""${W("doc_spans")}, $mediaCte
+      SELECT doc_id, media_ref, n_bytes, width, height, n_frames FROM dm""",
+
+    "media_frames" -> s"""${W("doc_spans")}, $mediaCte
+      SELECT doc_id, media_ref,
+             CAST(unnest(range(0, n_frames, 2)) AS BIGINT) AS frame_idx
+      FROM dm""",
+
+    "media_resize" -> s"""${W("doc_spans")}, $mediaCte,
+      g AS (SELECT doc_id, media_ref, width, height,
+                   greatest(width, height) AS gmax,
+                   CASE WHEN greatest(width, height) > 64 THEN 64
+                        ELSE greatest(width, height) END AS s
+            FROM dm)
+      SELECT doc_id, media_ref, width, height,
+             CAST(floor((width * s) / gmax) AS BIGINT) AS out_w,
+             CAST(floor((height * s) / gmax) AS BIGINT) AS out_h
+      FROM g""",
+  )
+}

@@ -46,6 +46,13 @@ object GraftFunctions {
     "st_y" -> (e => StY(t(e(0)))),
     "planar_dist" -> (e => PlanarDist(d(e(0)), d(e(1)), d(e(2)), d(e(3)))),
     "haversine_m" -> (e => HaversineM(d(e(0)), d(e(1)), d(e(2)), d(e(3)))),
+    // training-data hot paths (graft.text semantics, native loops)
+    "vec_dot" -> (e => VecDot(e(0), e(1))),
+    "char_fold_hash" -> (e => CharFoldHash(t(e(0)), l(e(1)), l(e(2)))),
+    "token_hashes" -> (e => TokenHashes(e(0), l(e(1)), l(e(2)))),
+    "hash60_array" -> (e => Hash60Array(e(0))),
+    "minhash_sig" -> (e => MinHashSig(e(0))),
+    "simhash60" -> (e => SimHash60(e(0))),
   )
 
   def register(spark: SparkSession): Unit = builders.foreach { case (name, b) =>
@@ -86,6 +93,14 @@ object GraftFunctions {
     call_function("planar_dist", x1, y1, x2, y2)
   def haversine_m(x1: Column, y1: Column, x2: Column, y2: Column): Column =
     call_function("haversine_m", x1, y1, x2, y2)
+  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def char_fold_hash(s: Column, mult: Column, mod: Column): Column =
+    call_function("char_fold_hash", s, mult, mod)
+  def token_hashes(arr: Column, mult: Column, mod: Column): Column =
+    call_function("token_hashes", arr, mult, mod)
+  def hash60_array(arr: Column): Column = call_function("hash60_array", arr)
+  def minhash_sig(hashes: Column): Column = call_function("minhash_sig", hashes)
+  def simhash60(hashes: Column): Column = call_function("simhash60", hashes)
 }
 
 /** `spark.sql.extensions`-loadable injector (cluster deployment path). */

@@ -62,56 +62,69 @@ object SpatialJoins {
   /**
    * Exact k-nearest-neighbors join (planar degree metric, ties broken by pid).
    *
-   * Phase 1: candidates from a Chebyshev ring of `ringK` cells at `res`
-   * around each query cell (cell_kring expansion, equi-join on cell).
-   * Phase 2: a query is *proven complete* if it found >= k candidates within
-   * the guaranteed radius (ringK - 1) * min(cellW, cellH): any point closer
-   * than that cannot lie outside the ring. Queries failing the proof are
-   * re-run brute-force (broadcast of the residual query set) — exactness
-   * never depends on the ring parameters, only performance does.
+   * Cascaded cell-ring expansion, fine to coarse: at each resolution,
+   * candidates come from a Chebyshev ring of `ringK` cells around the query
+   * cell (cell_kring explode, equi-join on cell). A query is *proven
+   * complete* at a level when it found >= k candidates within the guaranteed
+   * radius (ringK - 1) * min(cellW, cellH) — no point outside the ring can
+   * be closer. Unproven queries fall through to the next (coarser) level;
+   * the final residue (typically a handful in empty regions) is brute-forced
+   * by broadcast. Exactness never depends on the level parameters — only
+   * cost does.
+   *
+   * Why a cascade: a single coarse resolution melts down on skew — a
+   * mega-city cell holds 10^5+ points and every nearby query drags them ALL
+   * in as candidates. Starting fine means dense-region queries complete with
+   * small rings; only sparse-region queries (few candidates each, by
+   * definition) escalate. Per-level candidate volume stays bounded at both
+   * extremes of the density spectrum.
+   *
+   * Each level's surviving top-k (<= |queries| * k rows) is
+   * `localCheckpoint`ed so the proof/anti-join consumers don't recompute the
+   * candidate join.
    *
    * @param queries (qid, qlon, qlat)
    * @param targets (pid, lon, lat)
    * @return (qid, pid, dist, rank) with rank in [1, k]
    */
   def knnJoin(queries: DataFrame, targets: DataFrame, k: Int,
-              res: Int = 7, ringK: Int = 2): DataFrame = {
-    require(ringK >= 1)
-    val guaranteedRadius =
-      (ringK - 1) * math.min(CellIndex.cellLonWidth(res), CellIndex.cellLatHeight(res))
-
-    val targetCells = targets.withColumn("cell", cell_encode(col("lon"), col("lat"), lit(res)))
-    val probeCells = queries
-      .withColumn("qcell", cell_encode(col("qlon"), col("qlat"), lit(res)))
-      .withColumn("cell", explode(cell_kring(col("qcell"), lit(ringK))))
-      .drop("qcell")
-
-    val candidates = probeCells.join(targetCells, "cell")
-      .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
-
+              resolutions: Seq[Int] = Seq(16, 12, 7), ringK: Int = 2): DataFrame = {
+    require(ringK >= 1 && resolutions.nonEmpty)
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("pid"))
-    val ranked = candidates
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val out = Seq("qid", "pid", "dist", "rank")
 
-    // completeness proof per query: k-th candidate within guaranteed radius
-    val proof = ranked.groupBy("qid")
-      .agg(count(lit(1)).as("n"), max("dist").as("kth"))
-      .withColumn("complete", col("n") === k && col("kth") < guaranteedRadius)
+    var remaining = queries
+    var acc: Option[DataFrame] = None
+    for (res <- resolutions) {
+      val guaranteedRadius =
+        (ringK - 1) * math.min(CellIndex.cellLonWidth(res), CellIndex.cellLatHeight(res))
+      val targetCells = targets.withColumn("cell", cell_encode(col("lon"), col("lat"), lit(res)))
+      val probeCells = remaining
+        .withColumn("qcell", cell_encode(col("qlon"), col("qlat"), lit(res)))
+        .withColumn("cell", explode(cell_kring(col("qcell"), lit(ringK))))
+        .drop("qcell")
+      val ranked = probeCells.join(targetCells, "cell")
+        .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .localCheckpoint() // <= |remaining| * k rows; cuts recompute + lineage
+      val proof = ranked.groupBy("qid")
+        .agg(count(lit(1)).as("n"), max("dist").as("kth"))
+        .withColumn("complete", col("n") === k && col("kth") < guaranteedRadius)
+      val provenQids = proof.filter(col("complete")).select("qid")
+      val proven = ranked.join(provenQids.hint("broadcast"), Seq("qid"), "left_semi")
+        .select(out.head, out.tail: _*)
+      acc = Some(acc.map(_.unionByName(proven)).getOrElse(proven))
+      remaining = remaining.join(provenQids, Seq("qid"), "left_anti")
+    }
 
-    val provenQids = proof.filter(col("complete")).select("qid")
-    val proven = ranked.join(provenQids.hint("broadcast"), Seq("qid"), "left_semi")
-
-    // residual queries (few, by construction): exact brute force, broadcast
-    val residualQueries = queries.join(proof.filter(col("complete")).select("qid"),
-      Seq("qid"), "left_anti")
-    val brute = broadcast(residualQueries).crossJoin(targets)
+    // final residue: exact brute force over a broadcast of the few leftovers
+    val brute = broadcast(remaining).crossJoin(targets)
       .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-
-    proven.select("qid", "pid", "dist", "rank")
-      .unionByName(brute.select("qid", "pid", "dist", "rank"))
+      .select(out.head, out.tail: _*)
+    acc.get.unionByName(brute)
   }
 
   /** Tile assignment at zoom z: every point -> flat tile id, output

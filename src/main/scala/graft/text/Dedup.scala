@@ -1,0 +1,168 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+import TextParams._
+
+/**
+ * Document deduplication suite over `documents(doc_id, text, ...)` — the
+ * training-data-pipeline operators a 100 TB corpus needs before the spatial
+ * stages. Five independent strategies, cheapest to most semantic:
+ *
+ *  1. exact        — hash-groupBy on md5(text); keeper = min doc_id.
+ *  2. ngramJaccard — exact set similarity over token-trigram shingles via an
+ *                    inverted-index self-join (the correctness baseline; at
+ *                    scale the LSH variants below bound the candidate set).
+ *  3. minhashLsh   — 16-hash minhash signature, 4x4 banding; candidate pairs
+ *                    share >= 1 band, then exact-Jaccard verification. The
+ *                    classic shingle -> minhash -> band -> bucket-join plan:
+ *                    cost is O(docs x bands), never O(docs^2).
+ *  4. simhash      — 60-bit majority-vote fingerprint; near-dup = hamming
+ *                    <= MaxHamming, candidates via 4-way band join (pigeonhole:
+ *                    any pair within hamming 3 shares one of 4 bands).
+ *  5. embedding    — cosine near-dup over `embeddings` (see Similarity).
+ *
+ * Scale notes: every strategy is equi-join + aggregation shaped — shuffles
+ * key on content hashes (uniform by construction), band buckets are
+ * bounded-size, and the verify joins are semi-join-narrow. No driver-side
+ * materialization anywhere.
+ */
+object Dedup {
+
+  /** Exact dedup: one row per doc with its content group and keep flag. */
+  def exact(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val keepers = hashed.groupBy("content_hash")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("group_size"))
+    hashed.join(keepers, "content_hash")
+      .select(col("doc_id"), col("content_hash"), col("keeper_id"),
+        col("group_size"), (col("doc_id") === col("keeper_id")).as("keep"))
+  }
+
+  /** Spread a (possibly single-partition) input across the session's shuffle
+   * parallelism before CPU-heavy per-row work. A small parquet arrives as
+   * one split; without this every downstream narrow stage runs serial. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /**
+   * (doc_id, sh: array<string>) shingle sets, one row per doc.
+   *
+   * `tokens` MUST be materialized in its own projection before `shingles`
+   * consumes it: higher-order functions evaluate interpreted, so an inlined
+   * `shingles(tokens(text))` re-runs the whole tokenization for every
+   * `element_at` — O(len^2) per document. As a separate aliased projection
+   * the token array is computed once per row; CollapseProject keeps it
+   * un-inlined because `shingles` references it more than once and it is
+   * not a cheap expression.
+   */
+  private def docShingles(docs: DataFrame): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+
+  /** (doc_id, shingle) inverted index, distinct per doc. */
+  private def shingleIndex(docs: DataFrame): DataFrame =
+    docShingles(docs).select(col("doc_id"), explode(col("sh")).as("shingle"))
+
+  /**
+   * Exact n-gram Jaccard pairs >= threshold: inverted-index self-join counts
+   * intersections; set sizes come from a pre-aggregation (no cross join).
+   */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    val idx = shingleIndex(docs)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = idx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** (doc_id, sig) minhash signatures. Two projections: shingle hashes once,
+   * then the NumHashes permutation minima over the hash array (CollapseProject
+   * keeps non-cheap producers un-inlined, so the hashes aren't re-derived). */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docShingles(docs)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.token_hashes(col("sh"), lit(M1), lit(P1)).as("hs"))
+      .select(col("doc_id"), minhashSigFromHashes(col("hs")).as("sig"))
+
+  /**
+   * MinHash-LSH near-dup pairs: band join for candidates, exact Jaccard
+   * verify. Bands explode to (band, key) rows; the join keys are
+   * (band, 4-hash key string) — uniformly distributed, skew-free.
+   */
+  def minhashLshPairs(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bandRows = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+        array_join(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), ","))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val candidates = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      // Candidate pairs are small by construction (near-dups + LSH false
+      // positives), but the subtree above them (sig -> band -> self-join)
+      // is the expensive part. Materialize once so the 3 downstream
+      // consumers (verify join + the id semi-join) don't re-run it.
+      .localCheckpoint()
+    // verify ONLY the candidates — and tokenize ONLY the docs appearing in
+    // some candidate pair (broadcast semi-join BEFORE the CPU-heavy shingle
+    // computation; the reference's filter-before-fetch discipline,
+    // src/osm/ReferencesHandler.cpp:27-61). Never the full inverted-index
+    // self-join, whose common-shingle pairs are quadratic in corpus size.
+    val candidateIds = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val docSh = docShingles(
+        docs.join(candidateIds.hint("broadcast"), Seq("doc_id"), "left_semi"))
+      .withColumn("n", size(col("sh")))
+    candidates
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("na")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("nb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** (doc_id, simhash) 60-bit fingerprints (token hashes computed natively). */
+  def simhashes(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"),
+        graft.functions.GraftFunctions.hash60_array(tokens(col("text"))).as("hs"))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("simhash"))
+
+  /**
+   * SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= MaxHamming.
+   * Candidates via SimHashBands 15-bit band-equality joins (pigeonhole
+   * guarantees recall at hamming <= SimHashBands - 1).
+   */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+    val bits = SimHashBits / SimHashBands
+    val sigs = simhashes(docs)
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimHashBands).map(b =>
+        shiftrightunsigned(col("simhash"), b * bits).bitwiseAND((1L << bits) - 1)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+}

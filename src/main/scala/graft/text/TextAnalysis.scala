@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+import TextParams._
+
+/**
+ * Per-document text analysis: token counting, quality scoring, language-id
+ * heuristic, order-sensitive fingerprinting. All pure per-row expression
+ * trees over `documents(doc_id, text, ...)` — the map side of a training-data
+ * filter pipeline; at 100 TB these run inside the parquet scan stage with
+ * zero shuffle.
+ */
+object TextAnalysis {
+
+  /** Spread tiny-file inputs across cores before per-row text work. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Token + character counts. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+
+  /**
+   * Quality metrics: type-token ratio, mean token length, whitespace-stripped
+   * alpha ratio, stopword ratio, and a linear quality score. Single division
+   * per ratio keeps Spark/DuckDB doubles bit-identical.
+   */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val nTok = size(toks)
+    val nTypes = size(array_distinct(toks))
+    val alphaChars = length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    val tokenChars = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    spread(docs).select(col("doc_id"), col("text"), tokens(col("text")).as("toks")).select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      (nTypes.cast("double") / nTok).as("ttr"),
+      (tokenChars.cast("double") / nTok).as("mean_token_len"),
+      (alphaChars.cast("double") / length(col("text"))).as("alpha_ratio"),
+      (nStop.cast("double") / nTok).as("stopword_ratio"))
+      .withColumn("quality_score",
+        col("ttr") * 0.4 + col("alpha_ratio") * 0.4 +
+          (lit(1.0) - col("stopword_ratio")) * 0.2)
+  }
+
+  /**
+   * Language-id heuristic: marker-token hits per language, argmax with
+   * deterministic tiebreak (score desc, language asc), 'und' when no marker
+   * hits. The marker lists are the operator's config, not learned state.
+   */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "value", "fast"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "slow", "window"),
+    "es" -> Seq("el", "la", "de", "los", "es", "scan", "batch"),
+    "fr" -> Seq("le", "la", "et", "les", "est", "join", "filter"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "spark", "column"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val scored = spread(docs).select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: langMarkers.map { case (lang, markers) =>
+        val arr = array(markers.map(lit): _*)
+        size(filter(toks, t => array_contains(arr, t))).cast("long").as(s"score_$lang")
+      }: _*)
+    val best = langMarkers.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("s"), lit(lang).as("l"))
+    }.reduce((a, b) =>
+      when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scored.withColumn("lang_pred",
+      when(greatest(langMarkers.map(m => col(s"score_${m._1}")): _*) === 0, "und")
+        .otherwise(best.getField("l")))
+  }
+
+  /** Order-sensitive 60-bit document fingerprint over the token sequence. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSparkSession
+
+class SpatialJoinsSpec extends AnyFunSuite {
+  lazy val spark = GraftSparkSession.spark
+  import spark.implicits._
+
+  test("pipJoin matches brute-force containment on a rectangle mix") {
+    val pts = (0 until 400).map { i =>
+      (i.toLong, (i * 7919 % 2000) / 10.0 - 100.0, (i * 104729 % 1000) / 10.0 - 50.0)
+    }
+    val points = pts.toDF("pid", "lon", "lat")
+    val rects = Seq( // (poly_id, x0, y0, x1, y1)
+      (1L, -50.0, -20.0, -30.0, 5.0), (2L, 0.0, 0.0, 40.0, 30.0), (3L, 80.0, -45.0, 99.0, 45.0))
+    val polys = rects.map { case (id, x0, y0, x1, y1) =>
+      (id, s"POLYGON(($x0 $y0,$x1 $y0,$x1 $y1,$x0 $y1,$x0 $y0))")
+    }.toDF("poly_id", "wkt")
+    val got = SpatialJoins.pipJoin(points, polys)
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (pid, lon, lat) <- pts
+      (id, x0, y0, x1, y1) <- rects
+      if lon >= x0 && lon <= x1 && lat >= y0 && lat <= y1
+    } yield (pid, id)).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("knnJoin is exact vs Scala brute force (incl. residual fallback)") {
+    val targets = (0 until 300).map { i =>
+      (i.toLong, (i * 31 % 360) - 180.0 + i * 1e-4, (i * 57 % 170) - 85.0 + i * 1e-4)
+    }
+    val queries = Seq((1L, 0.5, 0.5), (2L, -179.9, -84.9), (3L, 10.0, 40.0))
+    val got = SpatialJoins.knnJoin(queries.toDF("qid", "qlon", "qlat"),
+        targets.toDF("pid", "lon", "lat"), k = 4)
+      .select("qid", "pid", "rank").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    queries.foreach { case (qid, qlon, qlat) =>
+      val want = targets.sortBy { case (pid, lon, lat) =>
+        (math.sqrt((lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat)), pid)
+      }.take(4).map(_._1)
+      assert(got(qid) === want, s"qid=$qid")
+    }
+  }
+
+  test("tileHistogram (salted two-phase) equals plain groupBy count") {
+    val points = (0 until 1000).map(i => (i.toLong, (i % 100) / 10.0, (i % 50) / 10.0))
+      .toDF("pid", "lon", "lat")
+    val salted = SpatialJoins.tileHistogram(points, z = 6)
+      .as[(Long, Long)].collect().toMap
+    val plain = SpatialJoins.tileAssign(points, z = 6)
+      .groupBy("tile_id").count().as[(Long, Long)].collect().toMap
+    assert(salted === plain)
+  }
+
+  test("tileJoin keeps only points whose tile is in the inventory") {
+    val points = Seq((1L, 0.05, 0.05), (2L, 100.0, 50.0)).toDF("pid", "lon", "lat")
+    val t1 = SpatialJoins.tileAssign(points, z = 6)
+      .filter($"pid" === 1).select("tile_id").as[Long].head()
+    val tiles = Seq(t1).toDF("tile_id")
+    val got = SpatialJoins.tileJoin(points, tiles, z = 6).select("pid").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
+}
