@@ -62,6 +62,7 @@ object Bench {
     val knn = SpatialJoins.knnJoin(queries, pts, k = 5).count()
     val hist = SpatialJoins.tileHistogram(pts, z = 6)
       .agg(sum("cnt")).collect()(0).getLong(0)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     pip + knn + hist
   }
 
@@ -75,12 +76,18 @@ object Bench {
     // ---- part 1: sf-dir suite
     val names = (headline ++ secondary).filter(SparkEntry.queries.contains)
     val results = withSession(cpus) { spark =>
+      // JIT/codegen warmup so the first timed query isn't charged for
+      // cold compilation (same discipline as the scaling study)
+      try scalingJob(spark, 50000)
+      catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
       names.map { name =>
         val (rows, sec) =
           try time(SparkEntry.queries(name)(spark, sfDir).count())
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); (-1L, -1.0) }
         System.err.println(f"[bench] $name%-22s ${sec}%8.2f s  $rows%10d rows")
+        // drop operator-internal localCheckpoints between queries
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         name -> (sec, rows)
       }
     }

@@ -20,6 +20,9 @@ object ProfileMain {
       System.err.println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
+    val mode = sys.env.getOrElse("PROFILE_MODE", "text")
+    if (mode == "geo") { profileGeo(spark, sfDir); spark.stop(); return }
+
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     t("docs.count")(docs.count())
     t("tokens")(docs.select(TextFunctions.tokens(col("text"))).count())
@@ -63,5 +66,93 @@ object ProfileMain {
     }
     t("full minhashLshPairs")(Dedup.minhashLshPairs(docs).count())
     spark.stop()
+  }
+
+  def profileGeo(spark: SparkSession, sfDir: String): Unit = {
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    /** Drop operator-internal localCheckpoints left by a finished query. */
+    def sweep(keep: Set[Int]): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keep.contains(id)) rdd.unpersist(blocking = false)
+      }
+    import graft.ops.SpatialJoins
+    import graft.gen.DerivedTables
+    DerivedTables.register(spark, sfDir)
+    val points = spark.table("points").localCheckpoint()
+    val queries = spark.table("query_points").localCheckpoint()
+    val polys = spark.table("rects").selectExpr("poly_id",
+      """concat('POLYGON((',
+         cx - hw, ' ', cy - hh, ',', cx + hw, ' ', cy - hh, ',',
+         cx + hw, ' ', cy + hh, ',', cx - hw, ' ', cy + hh, ',',
+         cx - hw, ' ', cy - hh, '))') AS wkt""").localCheckpoint()
+    System.err.println(s"[prof] n_points=${points.count()} n_queries=${queries.count()} n_polys=${polys.count()}")
+    val keepIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+    t("pip_join full")(SpatialJoins.pipJoin(points, polys).count())
+    sweep(keepIds)
+    // candidate count before refine
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    val covers = polys.withColumn("cell",
+      explode(cell_cover_wkt(col("wkt"), lit(64), lit(12))))
+    t("covers")(covers.count())
+    val resolutions = covers.select(shiftrightunsigned(col("cell"), 56).cast("int").as("r"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    System.err.println(s"[prof] cover resolutions=${resolutions.mkString(",")}")
+    val probes = points.withColumn("cell",
+      explode(array(resolutions.map(r => cell_encode(col("lon"), col("lat"), lit(r))): _*)))
+    t("pip candidates")(probes.join(broadcast(covers), "cell").count())
+
+    t("knn full default")(SpatialJoins.knnJoin(queries, points, k = 5).count())
+    sweep(keepIds)
+    t("knn full default #2")(SpatialJoins.knnJoin(queries, points, k = 5).count())
+    sweep(keepIds)
+    // stage-by-stage replica of the adaptive plan
+    locally {
+      val levels = Seq(20, 18, 16, 14, 12, 10, 8, 6); val ringK = 2; val k = 5; val pf = 32
+      val res = shiftrightunsigned(col("cell"), 56).cast("int")
+      val fineCounts = t("knn fineCounts")(points
+        .groupBy(cell_encode(col("lon"), col("lat"), lit(levels.max)).as("cell"))
+        .agg(count(lit(1)).as("cnt")).localCheckpoint())
+      val levelCounts = fineCounts
+        .select(explode(array(levels.map(l => cell_parent(col("cell"), lit(l))): _*)).as("cell"), col("cnt"))
+        .groupBy("cell").agg(sum("cnt").as("cnt"))
+      val rings = queries.select(col("qid"), explode(flatten(array(levels.map(l =>
+        cell_kring(cell_encode(col("qlon"), col("qlat"), lit(l)), lit(ringK))): _*))).as("cell"))
+      val ringPop = rings.join(levelCounts, "cell")
+        .groupBy(col("qid"), res.as("res")).agg(sum("cnt").as("pop"))
+      val assigned = t("knn assigned")(ringPop.groupBy("qid")
+        .agg(max(when(col("pop") >= pf.toLong * k, col("res"))).as("lvl"))
+        .select(col("qid"), coalesce(col("lvl"), lit(levels.min)).as("lvl")).localCheckpoint())
+      assigned.groupBy("lvl").count().collect().sortBy(_.getInt(0)).foreach(r =>
+        System.err.println(s"[prof]   lvl=${r.getInt(0)} queries=${r.getLong(1)}"))
+      val probes = queries.join(assigned, Seq("qid"), "left_outer")
+        .withColumn("lvl", coalesce(col("lvl"), lit(levels.min)))
+        .withColumn("cell", explode(cell_kring(cell_encode(col("qlon"), col("qlat"), col("lvl")), lit(ringK))))
+      val usedLevels = assigned.select("lvl").distinct().collect().map(_.getInt(0)).sorted
+      val targetCells = points.withColumn("cell", explode(array(
+        usedLevels.map(l => cell_encode(col("lon"), col("lat"), lit(l))): _*)))
+      t("knn candidates count")(probes.join(targetCells, "cell").count())
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("pid"))
+      val ranked = t("knn ranked.checkpoint")(probes.join(targetCells, "cell")
+        .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k).localCheckpoint())
+      val radius = usedLevels.foldLeft(lit(0.0)) { (acc, l) =>
+        when(col("lvl") === l, (ringK - 1) *
+          math.min(graft.geo.CellIndex.cellLonWidth(l), graft.geo.CellIndex.cellLatHeight(l))).otherwise(acc) }
+      val proof = ranked.groupBy("qid")
+        .agg(count(lit(1)).as("n"), max("dist").as("kth"), first("lvl").as("lvl"))
+        .withColumn("complete", col("n") === k && col("kth") < radius)
+      val nUnproven = t("knn proof")(proof.filter(!col("complete")).count())
+      System.err.println(s"[prof]   unproven=$nUnproven")
+    }
+    sweep(keepIds)
+    t("knn (16,7)")(SpatialJoins.knnJoin(queries, points, k = 5, Seq(16, 7)).count())
+    sweep(keepIds)
+    t("knn (16,7) #2")(SpatialJoins.knnJoin(queries, points, k = 5, Seq(16, 7)).count())
   }
 }

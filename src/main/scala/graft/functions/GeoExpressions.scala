@@ -50,6 +50,29 @@ object GeoOps {
   def cellParent(cell: Long, res: Int): Long = CellIndex.parent(cell, res)
   def stContains(wkt: UTF8String, lon: Double, lat: Double): Boolean =
     WktCache.polygon(wkt.toString).contains(lon, lat)
+
+  /** Edge-inclusive ray-cast over interleaved [x0,y0,x1,y1,...] coords —
+   * identical decision procedure to Geo.Polygon.contains, minus the
+   * envelope precheck (one fused loop, no allocation). */
+  def containsPacked(packed: ArrayData, px: Double, py: Double): Boolean = {
+    val n = packed.numElements() / 2 - 1 // ring is closed
+    var inside = false
+    var i = 0
+    while (i < n) {
+      val x1 = packed.getDouble(2 * i);     val y1 = packed.getDouble(2 * i + 1)
+      val x2 = packed.getDouble(2 * i + 2); val y2 = packed.getDouble(2 * i + 3)
+      val cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+      if (cross == 0.0 &&
+          px >= math.min(x1, x2) && px <= math.max(x1, x2) &&
+          py >= math.min(y1, y2) && py <= math.max(y1, y2)) return true
+      if ((y1 > py) != (y2 > py)) {
+        val xInt = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
+        if (px < xInt) inside = !inside
+      }
+      i += 1
+    }
+    inside
+  }
 }
 
 /** cell_encode(lon, lat, res) -> sortable Z-order cell id. */
@@ -126,6 +149,45 @@ case class CellCoverWkt(wkt: Expression, maxCells: Expression, maxRes: Expressio
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(wkt = f, maxCells = s, maxRes = t)
+}
+
+/**
+ * st_pack(polygonWkt) -> array<double> of interleaved ring coordinates
+ * [x0,y0,x1,y1,...]. Parse-once companion to `st_contains_packed`: the WKT
+ * is parsed on the (small) polygon side of a PIP join, and the refine
+ * filter then runs over unboxed doubles — no per-candidate string
+ * conversion, hashing, or cache lookups.
+ */
+case class StPack(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val p = Geo.parsePolygon(v.asInstanceOf[UTF8String].toString)
+    val out = new Array[Double](p.xs.length * 2)
+    var i = 0
+    while (i < p.xs.length) { out(2 * i) = p.xs(i); out(2 * i + 1) = p.ys(i); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_contains_packed(packed, lon, lat) — edge-inclusive ray-cast PIP over a
+ * packed coordinate array (same semantics as StContains; hot-path variant
+ * that stays inside whole-stage codegen and touches no strings). */
+case class StContainsPacked(packed: Expression, lon: Expression, lat: Expression)
+    extends TernaryExpression {
+  override def first: Expression = packed
+  override def second: Expression = lon
+  override def third: Expression = lat
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    GeoOps.containsPacked(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.GeoOps.containsPacked($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(packed = f, lon = s, lat = t)
 }
 
 /** st_contains(polygonWkt, lon, lat) — exact edge-inclusive PIP refine. */

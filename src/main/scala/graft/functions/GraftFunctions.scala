@@ -35,6 +35,8 @@ object GraftFunctions {
     "cell_cover_wkt" -> (e => CellCoverWkt(t(e(0)), i(e(1)), i(e(2)))),
     "tile_id" -> (e => TileIdExpr(d(e(0)), d(e(1)), i(e(2)))),
     "st_contains_pt" -> (e => StContains(t(e(0)), d(e(1)), d(e(2)))),
+    "st_pack" -> (e => StPack(t(e(0)))),
+    "st_contains_packed" -> (e => StContainsPacked(e(0), d(e(1)), d(e(2)))),
     "st_point" -> (e => StPoint(d(e(0)), d(e(1)))),
     "st_envelope" -> (e => StEnvelope(t(e(0)))),
     "st_centroid" -> (e => StCentroid(t(e(0)))),
@@ -80,6 +82,9 @@ object GraftFunctions {
     call_function("tile_id", lon, lat, z)
   def st_contains_pt(wkt: Column, lon: Column, lat: Column): Column =
     call_function("st_contains_pt", wkt, lon, lat)
+  def st_pack(wkt: Column): Column = call_function("st_pack", wkt)
+  def st_contains_packed(packed: Column, lon: Column, lat: Column): Column =
+    call_function("st_contains_packed", packed, lon, lat)
   def st_point(lon: Column, lat: Column): Column = call_function("st_point", lon, lat)
   def st_envelope(wkt: Column): Column = call_function("st_envelope", wkt)
   def st_centroid(wkt: Column): Column = call_function("st_centroid", wkt)

@@ -42,8 +42,13 @@ object SpatialJoins {
   def pipJoin(points: DataFrame, polys: DataFrame,
               maxCellsPerPoly: Int = 64, maxRes: Int = 12,
               broadcastPolys: Boolean = true): DataFrame = {
+    // Parse each polygon ONCE on the (small) build side: the refine filter
+    // then runs st_contains_packed over unboxed doubles inside whole-stage
+    // codegen — no per-candidate WKT string conversion / hashing / caching.
     val covers = polys
+      .withColumn("packed", st_pack(col("wkt")))
       .withColumn("cell", explode(cell_cover_wkt(col("wkt"), lit(maxCellsPerPoly), lit(maxRes))))
+      .select("poly_id", "packed", "cell")
     // resolutions actually present in the covers — a tiny driver-side set
     // (metadata, bounded by maxRes), NOT a data collect.
     val resolutions: Array[Int] = covers
@@ -55,76 +60,120 @@ object SpatialJoins {
     val probes = points.withColumn("cell", explode(cellsOfPoint))
     val coverSide = if (broadcastPolys) broadcast(covers) else covers
     probes.join(coverSide, "cell")
-      .filter(st_contains_pt(col("wkt"), col("lon"), col("lat")))
+      .filter(st_contains_packed(col("packed"), col("lon"), col("lat")))
       .select(col("pid"), col("poly_id"), col("lon"), col("lat"))
   }
 
   /**
    * Exact k-nearest-neighbors join (planar degree metric, ties broken by pid).
    *
-   * Cascaded cell-ring expansion, fine to coarse: at each resolution,
-   * candidates come from a Chebyshev ring of `ringK` cells around the query
-   * cell (cell_kring explode, equi-join on cell). A query is *proven
-   * complete* at a level when it found >= k candidates within the guaranteed
-   * radius (ringK - 1) * min(cellW, cellH) — no point outside the ring can
-   * be closer. Unproven queries fall through to the next (coarser) level;
-   * the final residue (typically a handful in empty regions) is brute-forced
-   * by broadcast. Exactness never depends on the level parameters — only
-   * cost does.
+   * Density-adaptive level assignment, then ONE candidate join:
    *
-   * Why a cascade: a single coarse resolution melts down on skew — a
-   * mega-city cell holds 10^5+ points and every nearby query drags them ALL
-   * in as candidates. Starting fine means dense-region queries complete with
-   * small rings; only sparse-region queries (few candidates each, by
-   * definition) escalate. Per-level candidate volume stays bounded at both
-   * extremes of the density spectrum.
+   *  1. Cell histogram: one aggregation over targets at the finest level,
+   *     rolled up to every coarser level (aggs over the cell table, not the
+   *     raw data; cell ids are resolution-tagged so rollups need no extra
+   *     key column).
+   *  2. Ring population: each query's Chebyshev ring of `ringK` cells at
+   *     every level, joined against the histogram -> (qid, level, pop).
+   *  3. Assignment: each query takes the FINEST level whose ring holds
+   *     >= proofFactor * k points (coarsest level when none qualifies).
+   *     proofFactor trades candidate volume against proof success: of a
+   *     (2*ringK+1)^2-cell ring's population, only ~pi*(ringK-1)^2/(2*ringK+1)^2
+   *     (~1/8 at ringK=2) sits inside the proof radius under uniform
+   *     density, so proofFactor must exceed ~8 or most queries fail the
+   *     proof and fall to the brute path; 32 keeps the expected in-radius
+   *     count at ~4k while bounding per-query candidates at
+   *     ~16 * proofFactor * k for spacing-2 level ladders.
+   *     This is the skew defense: a query inside a mega-city hot cell gets
+   *     a fine level (small ring, bounded candidates); a query in empty
+   *     ocean gets a coarse one. A fixed resolution melts down at one end
+   *     or the other — measured at 2M points, a fixed-coarse plan drags
+   *     10^5 hot-box candidates into the rank window per nearby query.
+   *  4. Candidate join: probes explode their ring at the assigned level;
+   *     targets expand to one cell per *assigned-levels-in-use* (a tiny
+   *     driver-side set). Equi-join on the res-tagged cell id, distance,
+   *     per-query top-k window.
+   *  5. Proof: a query is complete if it found k candidates within the
+   *     guaranteed radius (ringK - 1) * min(cellW, cellH) of its level —
+   *     no point outside the ring can be closer. The (rare) unproven
+   *     residue is re-run brute-force via broadcast. Exactness never
+   *     depends on the assignment being right — only cost does.
    *
-   * Each level's surviving top-k (<= |queries| * k rows) is
-   * `localCheckpoint`ed so the proof/anti-join consumers don't recompute the
-   * candidate join.
+   * The ranked candidates (<= |queries| * k rows) are `localCheckpoint`ed so
+   * the proof/semi/anti consumers don't recompute the candidate join; the
+   * fine histogram is checkpointed for the same reason (at warehouse scale
+   * both would live as bucketed tables instead).
    *
    * @param queries (qid, qlon, qlat)
    * @param targets (pid, lon, lat)
    * @return (qid, pid, dist, rank) with rank in [1, k]
    */
   def knnJoin(queries: DataFrame, targets: DataFrame, k: Int,
-              resolutions: Seq[Int] = Seq(16, 12, 7), ringK: Int = 2): DataFrame = {
-    require(ringK >= 1 && resolutions.nonEmpty)
+              levels: Seq[Int] = Seq(20, 18, 16, 14, 12, 10, 8, 6),
+              ringK: Int = 2, proofFactor: Int = 32): DataFrame = {
+    require(ringK >= 1 && levels.nonEmpty && levels == levels.sorted.reverse,
+      "levels must be distinct, finest (largest) first")
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("pid"))
     val out = Seq("qid", "pid", "dist", "rank")
+    val res = shiftrightunsigned(col("cell"), 56).cast("int")
 
-    var remaining = queries
-    var acc: Option[DataFrame] = None
-    for (res <- resolutions) {
-      val guaranteedRadius =
-        (ringK - 1) * math.min(CellIndex.cellLonWidth(res), CellIndex.cellLatHeight(res))
-      val targetCells = targets.withColumn("cell", cell_encode(col("lon"), col("lat"), lit(res)))
-      val probeCells = remaining
-        .withColumn("qcell", cell_encode(col("qlon"), col("qlat"), lit(res)))
-        .withColumn("cell", explode(cell_kring(col("qcell"), lit(ringK))))
-        .drop("qcell")
-      val ranked = probeCells.join(targetCells, "cell")
-        .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .localCheckpoint() // <= |remaining| * k rows; cuts recompute + lineage
-      val proof = ranked.groupBy("qid")
-        .agg(count(lit(1)).as("n"), max("dist").as("kth"))
-        .withColumn("complete", col("n") === k && col("kth") < guaranteedRadius)
-      val provenQids = proof.filter(col("complete")).select("qid")
-      val proven = ranked.join(provenQids.hint("broadcast"), Seq("qid"), "left_semi")
-        .select(out.head, out.tail: _*)
-      acc = Some(acc.map(_.unionByName(proven)).getOrElse(proven))
-      remaining = remaining.join(provenQids, Seq("qid"), "left_anti")
+    // 1. histogram: fine agg over targets, then ALL level rollups in ONE
+    // shuffle (explode each fine cell to its ancestors; map-side combine
+    // collapses the 8x expansion before the exchange)
+    val fineCounts = targets
+      .groupBy(cell_encode(col("lon"), col("lat"), lit(levels.max)).as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val levelCounts = fineCounts
+      .select(explode(array(levels.map(l =>
+        cell_parent(col("cell"), lit(l))): _*)).as("cell"), col("cnt"))
+      .groupBy("cell").agg(sum("cnt").as("cnt"))
+
+    // 2. ring population per (query, level)
+    val rings = queries.select(col("qid"), explode(flatten(array(levels.map(l =>
+      cell_kring(cell_encode(col("qlon"), col("qlat"), lit(l)), lit(ringK))): _*))).as("cell"))
+    val ringPop = rings.join(levelCounts, "cell")
+      .groupBy(col("qid"), res.as("res"))
+      .agg(sum("cnt").as("pop"))
+
+    // 3. finest level with enough ring population (coarsest as fallback)
+    val assigned = ringPop.groupBy("qid")
+      .agg(max(when(col("pop") >= proofFactor.toLong * k, col("res"))).as("lvl"))
+      .select(col("qid"), coalesce(col("lvl"), lit(levels.min)).as("lvl"))
+      .localCheckpoint() // one row per query; reused by usedLevels + probes
+    val probes = queries.join(assigned, Seq("qid"), "left_outer")
+      .withColumn("lvl", coalesce(col("lvl"), lit(levels.min))) // empty-ring queries
+      .withColumn("cell", explode(cell_kring(
+        cell_encode(col("qlon"), col("qlat"), col("lvl")), lit(ringK))))
+
+    // 4. candidate join at the levels actually in use
+    val usedLevels: Array[Int] = probes.select(col("lvl")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val targetCells = targets.withColumn("cell", explode(array(
+      usedLevels.map(l => cell_encode(col("lon"), col("lat"), lit(l))): _*)))
+    val ranked = probes.join(targetCells, "cell")
+      .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .localCheckpoint() // <= |queries| * k rows; cuts recompute + lineage
+
+    // 5. per-level guaranteed radius; proof; brute residue
+    val radius = usedLevels.foldLeft(lit(0.0)) { (acc, l) =>
+      when(col("lvl") === l, (ringK - 1) *
+        math.min(CellIndex.cellLonWidth(l), CellIndex.cellLatHeight(l))).otherwise(acc)
     }
-
-    // final residue: exact brute force over a broadcast of the few leftovers
+    val proof = ranked.groupBy("qid")
+      .agg(count(lit(1)).as("n"), max("dist").as("kth"), first("lvl").as("lvl"))
+      .withColumn("complete", col("n") === k && col("kth") < radius)
+    val provenQids = proof.filter(col("complete")).select("qid")
+    val proven = ranked.join(provenQids.hint("broadcast"), Seq("qid"), "left_semi")
+      .select(out.head, out.tail: _*)
+    val remaining = queries.join(provenQids, Seq("qid"), "left_anti")
     val brute = broadcast(remaining).crossJoin(targets)
       .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(out.head, out.tail: _*)
-    acc.get.unionByName(brute)
+    proven.unionByName(brute)
   }
 
   /** Tile assignment at zoom z: every point -> flat tile id, output
