@@ -22,6 +22,7 @@ object ProfileMain {
 
     val mode = sys.env.getOrElse("PROFILE_MODE", "text")
     if (mode == "geo") { profileGeo(spark, sfDir); spark.stop(); return }
+    if (mode == "scale") { profileScale(spark); spark.stop(); return }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     t("docs.count")(docs.count())
@@ -66,6 +67,83 @@ object ProfileMain {
     }
     t("full minhashLshPairs")(Dedup.minhashLshPairs(docs).count())
     spark.stop()
+  }
+
+  def profileScale(spark: SparkSession): Unit = {
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    import graft.gen.SyntheticScale
+    import graft.ops.SpatialJoins
+    graft.functions.GraftFunctions.register(spark)
+    val n = sys.env.getOrElse("PROFILE_N", "50000").toLong
+    val pts = SyntheticScale.points(spark, n).localCheckpoint()
+    val polys = SyntheticScale.rectPolys(spark, 1000).localCheckpoint()
+    val queries = SyntheticScale.queryPoints(spark, 20000).localCheckpoint()
+    val keepIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def sweep(): Unit = spark.sparkContext.getPersistentRDDs.foreach {
+      case (id, rdd) => if (!keepIds.contains(id)) rdd.unpersist(false)
+    }
+    t("pip")(SpatialJoins.pipJoin(pts, polys).count())
+    // knn stages
+    val levels = Seq(20, 18, 16, 14, 12, 10, 8, 6); val ringK = 2; val k = 5; val pf = 32
+    val res = shiftrightunsigned(col("cell"), 56).cast("int")
+    val fineCounts = pts.groupBy(
+        graft.functions.GraftFunctions.cell_encode(col("lon"), col("lat"), lit(levels.max)).as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val levelCounts = fineCounts
+      .select(explode(array(levels.map(l =>
+        graft.functions.GraftFunctions.cell_parent(col("cell"), lit(l))): _*)).as("cell"), col("cnt"))
+      .groupBy("cell").agg(sum("cnt").as("cnt"))
+    val rings = queries.select(col("qid"), explode(flatten(array(levels.map(l =>
+      graft.functions.GraftFunctions.cell_kring(
+        graft.functions.GraftFunctions.cell_encode(col("qlon"), col("qlat"), lit(l)), lit(ringK))): _*)))
+      .as("cell"))
+    val ringPop = rings.join(levelCounts, "cell")
+      .groupBy(col("qid"), res.as("res")).agg(sum("cnt").as("pop"))
+    val assigned = t("assigned")(ringPop.groupBy("qid")
+      .agg(max(when(col("pop") >= pf.toLong * k, col("res"))).as("lvl"))
+      .select(col("qid"), coalesce(col("lvl"), lit(levels.min)).as("lvl")).localCheckpoint())
+    assigned.groupBy("lvl").count().collect().sortBy(_.getInt(0)).foreach(r =>
+      System.err.println(s"[prof]   lvl=${r.getInt(0)} queries=${r.getLong(1)}"))
+    // candidate join + window + proof + brute, step by step
+    val probes = queries.join(assigned, Seq("qid"), "left_outer")
+      .withColumn("lvl", coalesce(col("lvl"), lit(levels.min)))
+      .withColumn("cell", explode(graft.functions.GraftFunctions.cell_kring(
+        graft.functions.GraftFunctions.cell_encode(col("qlon"), col("qlat"), col("lvl")), lit(ringK))))
+    val usedLevels = assigned.select("lvl").distinct().collect().map(_.getInt(0)).sorted
+    val targetCells = pts.withColumn("cell", explode(array(
+      usedLevels.map(l => graft.functions.GraftFunctions.cell_encode(col("lon"), col("lat"), lit(l))): _*)))
+    val nCand = t("candidates")(probes.join(targetCells, "cell").count())
+    System.err.println(s"[prof]   n_candidates=$nCand")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("pid"))
+    val ranked = t("ranked.ckpt")(probes.join(targetCells, "cell")
+      .withColumn("dist", graft.functions.GraftFunctions.planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k).localCheckpoint())
+    val radius = usedLevels.foldLeft(lit(0.0)) { (acc, l) =>
+      when(col("lvl") === l, (ringK - 1) *
+        math.min(graft.geo.CellIndex.cellLonWidth(l), graft.geo.CellIndex.cellLatHeight(l))).otherwise(acc) }
+    val proof = ranked.groupBy("qid")
+      .agg(count(lit(1)).as("n"), max("dist").as("kth"), first("lvl").as("lvl"))
+      .withColumn("complete", col("n") === k && col("kth") < radius)
+    val nUnproven = t("proof")(queries.join(
+      proof.filter(col("complete")).select("qid"), Seq("qid"), "left_anti").count())
+    System.err.println(s"[prof]   unproven=$nUnproven")
+    proof.groupBy("lvl", "complete").agg(count(lit(1)).as("q"),
+        min("n").as("min_n"), avg("n").as("avg_n"), avg("kth").as("avg_kth"))
+      .orderBy("lvl", "complete").collect()
+      .foreach(r => System.err.println(s"[prof]   proof $r"))
+    // queries with NO candidates at all (absent from proof)
+    val noCand = queries.join(proof.select("qid"), Seq("qid"), "left_anti").count()
+    System.err.println(s"[prof]   queries_with_zero_candidates=$noCand")
+    sweep()
+    val knn = t("knn full")(SpatialJoins.knnJoin(queries, pts, k = 5).count())
+    System.err.println(s"[prof] knn rows=$knn")
+    sweep()
+    val knn2 = t("knn full #2")(SpatialJoins.knnJoin(queries, pts, k = 5).count())
+    System.err.println(s"[prof] knn rows2=$knn2")
   }
 
   def profileGeo(spark: SparkSession, sfDir: String): Unit = {

@@ -156,24 +156,58 @@ object SpatialJoins {
       .filter(col("rank") <= k)
       .localCheckpoint() // <= |queries| * k rows; cuts recompute + lineage
 
-    // 5. per-level guaranteed radius; proof; brute residue
+    // 5. per-level guaranteed radius; proof
+    def guaranteed(l: Int): Double =
+      (ringK - 1) * math.min(CellIndex.cellLonWidth(l), CellIndex.cellLatHeight(l))
     val radius = usedLevels.foldLeft(lit(0.0)) { (acc, l) =>
-      when(col("lvl") === l, (ringK - 1) *
-        math.min(CellIndex.cellLonWidth(l), CellIndex.cellLatHeight(l))).otherwise(acc)
+      when(col("lvl") === l, guaranteed(l)).otherwise(acc)
     }
     val proof = ranked.groupBy("qid")
       .agg(count(lit(1)).as("n"), max("dist").as("kth"), first("lvl").as("lvl"))
       .withColumn("complete", col("n") === k && col("kth") < radius)
+      .localCheckpoint() // one row per query; feeds 3 consumers below
     val provenQids = proof.filter(col("complete")).select("qid")
     val proven = ranked.join(provenQids.hint("broadcast"), Seq("qid"), "left_semi")
       .select(out.head, out.tail: _*)
-    val remaining = queries.join(provenQids, Seq("qid"), "left_anti")
+
+    // 6. round 2 for unproven queries that DID find k candidates: round 1's
+    // kth is an upper bound on the true k-th distance, so the finest level
+    // with guaranteed radius > kth is provably sufficient — the second pass
+    // is complete BY CONSTRUCTION (every true neighbor lies within the
+    // guarantee), no further proof or iteration needed. Each query gets its
+    // own level, so the candidate volume stays matched to local sparsity
+    // instead of melting down into a |unproven| x |targets| brute join.
+    val lvl2Expr = (0 to levels.max).foldLeft(lit(0)) { (acc, l) =>
+      when(lit(guaranteed(l)) > col("kth"), l).otherwise(acc)
+    }
+    val needs = proof.filter(!col("complete") && col("n") === k)
+      .select(col("qid"), lvl2Expr.as("lvl"))
+    val usedLevels2: Array[Int] = needs.select("lvl").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val round2 = if (usedLevels2.isEmpty) ranked.limit(0).select(out.head, out.tail: _*)
+    else {
+      val probes2 = queries.join(needs, "qid")
+        .withColumn("cell", explode(cell_kring(
+          cell_encode(col("qlon"), col("qlat"), col("lvl")), lit(ringK))))
+      val targetCells2 = targets.withColumn("cell", explode(array(
+        usedLevels2.map(l => cell_encode(col("lon"), col("lat"), lit(l))): _*)))
+      probes2.join(targetCells2, "cell")
+        .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(out.head, out.tail: _*)
+    }
+
+    // 7. brute backstop only for pathological queries (< k candidates found,
+    // e.g. k > |targets| in range, or no candidates at any level)
+    val handled = provenQids.unionByName(needs.select("qid"))
+    val remaining = queries.join(handled, Seq("qid"), "left_anti")
     val brute = broadcast(remaining).crossJoin(targets)
       .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(out.head, out.tail: _*)
-    proven.unionByName(brute)
+    proven.unionByName(round2).unionByName(brute)
   }
 
   /** Tile assignment at zoom z: every point -> flat tile id, output

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSparkSession
+import graft.lineage.SnapshotStore
+import graft.streaming.ChangeStream.{Change, Winner}
+
+class ChangeStreamSpec extends AnyFunSuite {
+  lazy val spark = GraftSparkSession.spark
+  import spark.implicits._
+
+  def ts(s: Long) = new Timestamp(1700000000000L + s * 60000)
+
+  private def changeRows(seqs: Seq[Long]) = seqs.flatMap { s =>
+    Seq(
+      // moves node s+1; creates node 100+s; deletes node s+10
+      (s, s * 10 + 1, "node", s + 1, 2, 0, "modify", ts(s), s + 0.5, s + 0.5),
+      (s, s * 10 + 2, "node", 100 + s, 1, 0, "create", ts(s), 10.0 + s, 20.0),
+      (s, s * 10 + 3, "node", s + 10, 2, 1, "delete", ts(s), 0.0, 0.0))
+  }
+
+  test("ingest drains available change files; resume skips committed seqs") {
+    graft.functions.GraftFunctions.register(spark)
+    val srcDir = Files.createTempDirectory("stream_src").toString
+    val storeDir = Files.createTempDirectory("stream_store").toString
+    val ckptDir = Files.createTempDirectory("stream_ckpt").toString
+    val store = new SnapshotStore(storeDir)
+
+    val initial = (1L to 40L).map(i => (i, i * 1.0, i * 0.5)).toDF("id", "lon", "lat")
+    val cols = Seq("seq", "eid", "obj_type", "id", "version", "deleted", "action", "ts", "lon", "lat")
+
+    changeRows(Seq(0L, 1L)).toDF(cols: _*).write.parquet(s"$srcDir/f0.parquet")
+    val schema = spark.read.parquet(s"$srcDir/f0.parquet").schema
+    def stream = spark.readStream.schema(schema).parquet(s"$srcDir/*.parquet")
+
+    val committed1 = ChangeStream.ingest(spark, stream, store, initial, ckptDir,
+      partitions = 2)
+    assert(committed1 === Seq(0L, 1L))
+    assert(store.watermark() === Some(1L))
+
+    // second wave: one more file; same checkpoint dir => only new data read
+    changeRows(Seq(2L)).toDF(cols: _*).write.parquet(s"$srcDir/f1.parquet")
+    val committed2 = ChangeStream.ingest(spark, stream, store, initial, ckptDir,
+      partitions = 2)
+    assert(committed2 === Seq(2L))
+    assert(store.watermark() === Some(2L))
+
+    // final state equals the batch pipeline applied seq-by-seq
+    val got = store.readTable(spark, 2L, "node_geoms")
+      .select("id", "lon", "lat").as[(Long, Double, Double)].collect().toSet
+    val want = {
+      var snap = initial
+      Seq(0L, 1L, 2L).foreach { s =>
+        val batch = changeRows(Seq(s)).toDF(cols: _*)
+        val compacted = graft.ops.ChangeBatch.dedupLatestVersion(
+          graft.ops.ChangeBatch.classify(batch))
+        snap = graft.ops.DeltaApply.applyChangeBatch(snap,
+          compacted.select(col("id"), col("action"), col("lon"), col("lat")))
+          .select("id", "lon", "lat")
+      }
+      snap.as[(Long, Double, Double)].collect().toSet
+    }
+    assert(got === want)
+  }
+
+  test("tileCounts: event-time windowed aggregation with watermark") {
+    val input = MemoryStream[Change](spark)
+    graft.functions.GraftFunctions.register(spark)
+    val q = ChangeStream.tileCounts(input.toDF(), z = 4,
+        windowDur = "10 minutes", lateness = "5 minutes")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("tile_counts_test").start()
+    try {
+      input.addData(
+        Change(0, 1, "node", 1, 1, 0, ts(0), 10.0, 20.0),
+        Change(0, 2, "node", 2, 1, 0, ts(1), 10.0, 20.0),
+        Change(0, 3, "node", 3, 1, 0, ts(30), -170.0, -80.0))
+      q.processAllAvailable()
+      val rows = spark.table("tile_counts_test")
+        .select("tile_id", "cnt").as[(Long, Long)].collect().toMap
+      val hot = graft.geo.CellIndex.tileId(10.0, 20.0, 4)
+      val cold = graft.geo.CellIndex.tileId(-170.0, -80.0, 4)
+      assert(rows(hot) === 2L)
+      assert(rows(cold) === 1L)
+    } finally q.stop()
+  }
+
+  test("latestVersionState: stateful last-writer-wins across micro-batches") {
+    val input = MemoryStream[Change](spark)
+    val q = ChangeStream.latestVersionState(input.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("lww_test").start()
+    try {
+      input.addData(
+        Change(0, 1, "node", 7, 2, 0, ts(0), 1.0, 1.0),
+        Change(0, 2, "node", 7, 3, 0, ts(0), 2.0, 2.0)) // winner: v3
+      q.processAllAvailable()
+      input.addData(
+        Change(1, 3, "node", 7, 3, 1, ts(1), 3.0, 3.0), // v3 deleted beats v3 kept
+        Change(1, 4, "node", 7, 1, 0, ts(1), 4.0, 4.0)) // stale, ignored
+      q.processAllAvailable()
+      input.addData(
+        Change(2, 5, "node", 7, 2, 0, ts(2), 5.0, 5.0)) // stale, no emission
+      q.processAllAvailable()
+      val winners = spark.table("lww_test").as[Winner].collect()
+      assert(winners.length === 2) // one emission per winner change
+      assert(winners.map(w => (w.version, w.deleted, w.eid)).toSet ===
+        Set((3, 0, 2L), (3, 1, 3L)))
+    } finally q.stop()
+  }
+}
