@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] = 32 concurrent tasks sharing one unified memory pool; 8g
   // leaves ~140MB execution memory per task and big sorts spill to death.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Whole-stage codegen emits new classes per query plan; a 40+ query run
+  // fills the default ~240MB code cache, the JIT stops compiling, and every
+  // subsequent stage runs at interpreter speed (observed: 10-20x slowdowns
+  // on trivial scans late in a bench session).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -89,7 +89,13 @@ object ProfileMain {
     // knn stages
     val levels = Seq(20, 18, 16, 14, 12, 10, 8, 6); val ringK = 2; val k = 5; val pf = 32
     val res = shiftrightunsigned(col("cell"), 56).cast("int")
-    val fineCounts = pts.groupBy(
+    import org.apache.spark.sql.expressions.Window
+    val ptsD = t("stack dedup")(pts
+      .withColumn("__sr", row_number().over(
+        Window.partitionBy(col("lon"), col("lat")).orderBy(col("pid"))))
+      .filter(col("__sr") <= k).drop("__sr").localCheckpoint())
+    System.err.println(s"[prof]   n_dedup=${ptsD.count()}")
+    val fineCounts = ptsD.groupBy(
         graft.functions.GraftFunctions.cell_encode(col("lon"), col("lat"), lit(levels.max)).as("cell"))
       .agg(count(lit(1)).as("cnt"))
     val levelCounts = fineCounts
@@ -113,7 +119,7 @@ object ProfileMain {
       .withColumn("cell", explode(graft.functions.GraftFunctions.cell_kring(
         graft.functions.GraftFunctions.cell_encode(col("qlon"), col("qlat"), col("lvl")), lit(ringK))))
     val usedLevels = assigned.select("lvl").distinct().collect().map(_.getInt(0)).sorted
-    val targetCells = pts.withColumn("cell", explode(array(
+    val targetCells = ptsD.withColumn("cell", explode(array(
       usedLevels.map(l => graft.functions.GraftFunctions.cell_encode(col("lon"), col("lat"), lit(l))): _*)))
     val nCand = t("candidates")(probes.join(targetCells, "cell").count())
     System.err.println(s"[prof]   n_candidates=$nCand")

@@ -117,10 +117,21 @@ object SpatialJoins {
     val out = Seq("qid", "pid", "dist", "rank")
     val res = shiftrightunsigned(col("cell"), 56).cast("int")
 
+    // 0. stack dedup: of co-located targets (identical lon/lat) only the k
+    // smallest pids can ever enter any query's top-k (ties break by pid),
+    // so prune duplicates up front. Duplicate-heavy data otherwise defeats
+    // cell-granularity bounds — a 600-deep stack turns every ring that
+    // touches it into 600x candidates. The rank window's map-side group
+    // limit keeps the extra pass one bounded shuffle.
+    val targetsD = targets
+      .withColumn("__sr", row_number().over(
+        Window.partitionBy(col("lon"), col("lat")).orderBy(col("pid"))))
+      .filter(col("__sr") <= k).drop("__sr")
+
     // 1. histogram: fine agg over targets, then ALL level rollups in ONE
     // shuffle (explode each fine cell to its ancestors; map-side combine
     // collapses the 8x expansion before the exchange)
-    val fineCounts = targets
+    val fineCounts = targetsD
       .groupBy(cell_encode(col("lon"), col("lat"), lit(levels.max)).as("cell"))
       .agg(count(lit(1)).as("cnt"))
     val levelCounts = fineCounts
@@ -148,7 +159,7 @@ object SpatialJoins {
     // 4. candidate join at the levels actually in use
     val usedLevels: Array[Int] = probes.select(col("lvl")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val targetCells = targets.withColumn("cell", explode(array(
+    val targetCells = targetsD.withColumn("cell", explode(array(
       usedLevels.map(l => cell_encode(col("lon"), col("lat"), lit(l))): _*)))
     val ranked = probes.join(targetCells, "cell")
       .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
@@ -189,7 +200,7 @@ object SpatialJoins {
       val probes2 = queries.join(needs, "qid")
         .withColumn("cell", explode(cell_kring(
           cell_encode(col("qlon"), col("qlat"), col("lvl")), lit(ringK))))
-      val targetCells2 = targets.withColumn("cell", explode(array(
+      val targetCells2 = targetsD.withColumn("cell", explode(array(
         usedLevels2.map(l => cell_encode(col("lon"), col("lat"), lit(l))): _*)))
       probes2.join(targetCells2, "cell")
         .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
@@ -202,7 +213,7 @@ object SpatialJoins {
     // e.g. k > |targets| in range, or no candidates at any level)
     val handled = provenQids.unionByName(needs.select("qid"))
     val remaining = queries.join(handled, Seq("qid"), "left_anti")
-    val brute = broadcast(remaining).crossJoin(targets)
+    val brute = broadcast(remaining).crossJoin(targetsD)
       .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
