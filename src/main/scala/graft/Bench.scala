@@ -58,10 +58,15 @@ object Bench {
     val pts = SyntheticScale.points(spark, nPoints)
     val polys = SyntheticScale.rectPolys(spark, 1000)
     val queries = SyntheticScale.queryPoints(spark, 20000)
-    val pip = SpatialJoins.pipJoin(pts, polys).count()
-    val knn = SpatialJoins.knnJoin(queries, pts, k = 5).count()
-    val hist = SpatialJoins.tileHistogram(pts, z = 6)
-      .agg(sum("cnt")).collect()(0).getLong(0)
+    def phase[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[bench]   $name%-10s n=$nPoints ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val pip = phase("pip")(SpatialJoins.pipJoin(pts, polys).count())
+    val knn = phase("knn")(SpatialJoins.knnJoin(queries, pts, k = 5).count())
+    val hist = phase("hist")(SpatialJoins.tileHistogram(pts, z = 6)
+      .agg(sum("cnt")).collect()(0).getLong(0))
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     pip + knn + hist
   }
@@ -70,12 +75,32 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
-    val scalePoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_POINTS", "2000000").toLong
+    // big enough that distributed compute dominates the fixed per-job costs
+    // (driver round-trips, codegen, session setup) — at 2M the whole job ran
+    // ~15s and Amdahl capped measurable efficiency at ~0.3 regardless of
+    // how well the operators scaled
+    val scalePoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_POINTS", "10000000").toLong
     val (cpusLo, cpusHi) = (math.max(1, cpus / 4), cpus)
 
-    // ---- part 1: sf-dir suite
-    val names = (headline ++ secondary).filter(SparkEntry.queries.contains)
-    val results = withSession(cpus) { spark =>
+    // child mode: one warmup + one measured scaling job, result on stdout.
+    // Each parallelism level gets a FRESH JVM — a second SparkSession in a
+    // long-lived JVM runs 3-6x slower (accumulated codegen classloaders
+    // degrade JIT state), which would corrupt the lo-vs-hi comparison.
+    // Fresh JVMs also mirror the north rule's per-cluster-size spark-submit.
+    sys.env.get("SPARK_GRAFT_SCALING_CHILD").foreach { c =>
+      val (rows, sec) = withSession(c.toInt) { s =>
+        scalingJob(s, 50000); time(scalingJob(s, scalePoints))
+      }
+      println(s"SCALING_CHILD $rows $sec")
+      return
+    }
+
+    // ---- part 1: sf-dir suite (skip with SPARK_GRAFT_SUITE=0)
+    val doSuite = sys.env.getOrElse("SPARK_GRAFT_SUITE", "1") != "0"
+    val names = if (!doSuite) Seq.empty
+      else (headline ++ secondary).filter(SparkEntry.queries.contains)
+    val results = if (!doSuite) Seq.empty[(String, (Double, Long))]
+    else withSession(cpus) { spark =>
       // JIT/codegen warmup so the first timed query isn't charged for
       // cold compilation (same discipline as the scaling study)
       try scalingJob(spark, 50000)
@@ -96,12 +121,63 @@ object Bench {
     val headSec = results.filter(r => headline.contains(r._1)).map(_._2._1).filter(_ >= 0).sum
     val headThroughput = if (headSec > 0) headRows / headSec else 0.0
 
-    // ---- part 2: scaling study (same job, same input, lo vs hi parallelism)
+    // ---- part 2: scaling study (same job, same input, lo vs hi parallelism,
+    // each measured in its own fresh JVM; see child mode above)
     val scaling = if (!doScaling) "" else {
-      // per-session warmup (codegen + JIT) so lo, which runs first, isn't
-      // penalized for cold compilation relative to hi
-      def measured(cpus: Int): (Long, Double) = withSession(cpus) { s =>
-        scalingJob(s, 50000); time(scalingJob(s, scalePoints))
+      // This sandbox VM shares a host: /proc/stat shows steal bursts taking
+      // up to ~80% of CPU for minutes, which turns any single timing into a
+      // coin flip (observed 5-7x swings on identical runs). Measure the
+      // steal fraction across each child run; accept a clean run
+      // immediately, otherwise retry and keep the fastest of 3.
+      def cpuStat(): (Long, Long) =
+        try {
+          val src = scala.io.Source.fromFile("/proc/stat")
+          try {
+            val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+            (f(7), f.sum)
+          } finally src.close()
+        } catch { case _: Throwable => (0L, 1L) }
+      def measured(cpus: Int): (Long, Double) = {
+        var times = List.empty[(Long, Double)]
+        var attempt = 0
+        while (attempt < 3) {
+          attempt += 1
+          val (st0, tot0) = cpuStat()
+          val r = measuredOnce(cpus)
+          val (st1, tot1) = cpuStat()
+          val steal = (st1 - st0).toDouble / math.max(1L, tot1 - tot0)
+          System.err.println(
+            f"[bench] scaling cpus=$cpus attempt=$attempt sec=${r._2}%.2f host_steal=${steal * 100}%.1f%%")
+          times ::= r
+          // two attempts within 1.5x of each other => stable, stop; a lone
+          // clean-host first attempt is also accepted
+          val secs = times.map(_._2).sorted
+          if ((times.length >= 2 && secs(1) / secs(0) < 1.5) ||
+              (times.length == 1 && steal < 0.02)) attempt = 3
+        }
+        times.minBy(_._2)
+      }
+      def measuredOnce(cpus: Int): (Long, Double) = {
+        val javaBin = s"${System.getProperty("java.home")}/bin/java"
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments
+        val cmd = new java.util.ArrayList[String]()
+        cmd.add(javaBin)
+        jvmArgs.forEach(a => cmd.add(a))
+        cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+        cmd.add("graft.Bench")
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_SCALING_CHILD", cpus.toString)
+        pb.redirectErrorStream(false)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        val outLines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+        val rc = p.waitFor()
+        outLines.collectFirst {
+          case l if l.startsWith("SCALING_CHILD ") =>
+            val Array(_, r, s) = l.split(" ")
+            (r.toLong, s.toDouble)
+        }.getOrElse(sys.error(s"scaling child (cpus=$cpus) failed, rc=$rc"))
       }
       val (rowsLo, secLo) = measured(cpusLo)
       val (rowsHi, secHi) = measured(cpusHi)
