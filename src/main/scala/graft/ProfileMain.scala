@@ -23,6 +23,11 @@ object ProfileMain {
     val mode = sys.env.getOrElse("PROFILE_MODE", "text")
     if (mode == "geo") { profileGeo(spark, sfDir); spark.stop(); return }
     if (mode == "scale") { profileScale(spark); spark.stop(); return }
+    if (mode == "lsh_explain") {
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.text.Dedup.minhashLshPairs(docs0).explain("formatted")
+      spark.stop(); return
+    }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     t("docs.count")(docs.count())
@@ -65,6 +70,8 @@ object ProfileMain {
         .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
         .filter(col("jaccard") >= JaccardThreshold).count()
     }
+    val lshDf = t("minhashLshPairs construct")(Dedup.minhashLshPairs(docs))
+    t("minhashLshPairs count")(lshDf.count())
     t("full minhashLshPairs")(Dedup.minhashLshPairs(docs).count())
     spark.stop()
   }

@@ -52,6 +52,7 @@ object GraftFunctions {
     "vec_dot" -> (e => VecDot(e(0), e(1))),
     "char_fold_hash" -> (e => CharFoldHash(t(e(0)), l(e(1)), l(e(2)))),
     "token_hashes" -> (e => TokenHashes(e(0), l(e(1)), l(e(2)))),
+    "trigram_hashes" -> (e => TrigramHashes(e(0), l(e(1)), l(e(2)))),
     "hash60_array" -> (e => Hash60Array(e(0))),
     "minhash_sig" -> (e => MinHashSig(e(0))),
     "simhash60" -> (e => SimHash60(e(0))),
@@ -103,6 +104,8 @@ object GraftFunctions {
     call_function("char_fold_hash", s, mult, mod)
   def token_hashes(arr: Column, mult: Column, mod: Column): Column =
     call_function("token_hashes", arr, mult, mod)
+  def trigram_hashes(toks: Column, mult: Column, mod: Column): Column =
+    call_function("trigram_hashes", toks, mult, mod)
   def hash60_array(arr: Column): Column = call_function("hash60_array", arr)
   def minhash_sig(hashes: Column): Column = call_function("minhash_sig", hashes)
   def simhash60(hashes: Column): Column = call_function("simhash60", hashes)

@@ -110,6 +110,53 @@ object TextVecOps {
     new GenericArrayData(out)
   }
 
+  /** continue a char fold across one more string (no allocation). */
+  private def foldOver(acc0: Long, s: UTF8String, mult: Long, mod: Long): Long = {
+    val n = s.numBytes()
+    var acc = acc0
+    var i = 0
+    while (i < n) {
+      acc = (acc * mult + (s.getByte(i) & 0xff)) % mod
+      i += 1
+    }
+    acc
+  }
+
+  /**
+   * Hashes of all token trigrams "t_i t_{i+1} t_{i+2}" — bit-identical to
+   * hashing the materialized shingle strings (the space byte is folded in
+   * between tokens) but with no string concatenation or shingle arrays.
+   * Duplicates are NOT removed: minhash minima are multiset-invariant, so
+   * the signature equals the one computed over distinct shingles.
+   * Under 3 tokens: one hash over all tokens space-joined (the shingle
+   * fallback, TextParams.sqlShingles).
+   */
+  def trigramHashes(toks: ArrayData, mult: Long, mod: Long): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3) {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (i > 0) acc = (acc * mult + 0x20) % mod
+        acc = foldOver(acc, toks.getUTF8String(i), mult, mod)
+        i += 1
+      }
+      return new GenericArrayData(Array(acc))
+    }
+    val out = new Array[Long](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      var acc = foldOver(0L, toks.getUTF8String(i), mult, mod)
+      acc = (acc * mult + 0x20) % mod
+      acc = foldOver(acc, toks.getUTF8String(i + 1), mult, mod)
+      acc = (acc * mult + 0x20) % mod
+      acc = foldOver(acc, toks.getUTF8String(i + 2), mult, mod)
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def hash60Array(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
@@ -168,6 +215,20 @@ case class TokenHashes(arr: Expression, mult: Expression, mod: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(a: Any, m: Any, p: Any): Any =
     TextVecOps.tokenHashes(a.asInstanceOf[ArrayData], m.asInstanceOf[Long], p.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(arr = f, mult = s, mod = t)
+}
+
+/** trigram_hashes(toks, mult, mod) -> array<long> (per token-trigram). */
+case class TrigramHashes(arr: Expression, mult: Expression, mod: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = arr
+  override def second: Expression = mult
+  override def third: Expression = mod
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any, m: Any, p: Any): Any =
+    TextVecOps.trigramHashes(a.asInstanceOf[ArrayData], m.asInstanceOf[Long], p.asInstanceOf[Long])
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(arr = f, mult = s, mod = t)
 }

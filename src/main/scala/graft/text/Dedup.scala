@@ -92,9 +92,12 @@ object Dedup {
    * then the NumHashes permutation minima over the hash array (CollapseProject
    * keeps non-cheap producers un-inlined, so the hashes aren't re-derived). */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    docShingles(docs)
+    spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // trigram hashes straight off the token array — no shingle strings;
+      // identical signatures (minhash minima are multiset-invariant)
       .select(col("doc_id"),
-        graft.functions.GraftFunctions.token_hashes(col("sh"), lit(M1), lit(P1)).as("hs"))
+        graft.functions.GraftFunctions.trigram_hashes(col("toks"), lit(M1), lit(P1)).as("hs"))
       .select(col("doc_id"), minhashSigFromHashes(col("hs")).as("sig"))
 
   /**
@@ -125,9 +128,17 @@ object Dedup {
     // self-join, whose common-shingle pairs are quadratic in corpus size.
     val candidateIds = candidates
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    // localCheckpoint is load-bearing here, not just a recompute saver: the
+    // outer jaccard filter's constraints otherwise infer
+    // isnotnull(size(sh)) and PushDownPredicates INLINES the whole
+    // shingles(tokens(text)) tree into a Filter evaluated on EVERY doc
+    // below the semi-join (filters get no CollapseProject protection),
+    // re-tokenizing the full corpus per consumer. The checkpoint cuts
+    // constraint propagation at a table that is candidate-docs-small.
     val docSh = docShingles(
         docs.join(candidateIds.hint("broadcast"), Seq("doc_id"), "left_semi"))
       .withColumn("n", size(col("sh")))
+      .localCheckpoint()
     candidates
       .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("na")), "doc_a")
       .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("nb")), "doc_b")
