@@ -24,6 +24,31 @@ object CoverageQueries {
   private def W(names: String*): String = DerivedTables.withClause(names: _*)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1: OsmChange XML scan via the native Spark XML source. Synthesizes a
+    // deterministic .osc batch (no external data), reads + flattens it, and
+    // feeds the P1 classifier. No SQL oracle (DuckDB has no XML reader);
+    // the driver records the rows-only check, OsmChangeXmlSpec asserts the
+    // golden content.
+    "s1_osmchange_xml" -> ((s, dir) => {
+      prep(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("osc_cov")
+      val osc = (0 until 20).map { i =>
+        val env = Seq("create", "modify", "delete")(i % 3)
+        val body =
+          if (i % 4 == 3)
+            s"""<way id="${200 + i}" version="${1 + i % 5}" timestamp="2024-02-0${1 + i % 9}T00:00:0${i % 10}Z"><nd ref="${i}"/><nd ref="${i + 1}"/></way>"""
+          else
+            s"""<node id="${100 + i}" version="${1 + i % 5}" timestamp="2024-02-0${1 + i % 9}T00:00:0${i % 10}Z" lon="${i}.5" lat="${i % 80}.25"><tag k="n" v="v$i"/></node>"""
+        s"<$env>$body</$env>"
+      }.mkString(
+        """<?xml version="1.0"?><osmChange version="0.6">""", "", "</osmChange>")
+      java.nio.file.Files.writeString(tmp.resolve("batch.osc"), osc)
+      graft.ops.ChangeBatch.classify(
+        graft.sources.OsmChangeXml.read(s, tmp.toString + "/*.osc")
+          .withColumn("deleted", when(col("action") === "delete", 1).otherwise(0)))
+        .select(col("obj_type"), col("id"), col("version"), col("action2"))
+    }),
+
     // A2: way member GROUP_CONCAT (ids + positions, ';'-joined, pos order)
     "a2_member_concat" -> ((s, dir) => {
       prep(s, dir)
