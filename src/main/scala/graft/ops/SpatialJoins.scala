@@ -123,10 +123,14 @@ object SpatialJoins {
     // cell-granularity bounds — a 600-deep stack turns every ring that
     // touches it into 600x candidates. The rank window's map-side group
     // limit keeps the extra pass one bounded shuffle.
+    // Materialized once: three downstream jobs (histogram, candidate join,
+    // round-2/brute) would otherwise each re-run the dedup window shuffle.
+    // At warehouse scale this is a maintained table, not a checkpoint.
     val targetsD = targets
       .withColumn("__sr", row_number().over(
         Window.partitionBy(col("lon"), col("lat")).orderBy(col("pid"))))
       .filter(col("__sr") <= k).drop("__sr")
+      .localCheckpoint()
 
     // 1. histogram: fine agg over targets, then ALL level rollups in ONE
     // shuffle (explode each fine cell to its ancestors; map-side combine
@@ -156,27 +160,30 @@ object SpatialJoins {
       .withColumn("cell", explode(cell_kring(
         cell_encode(col("qlon"), col("qlat"), col("lvl")), lit(ringK))))
 
-    // 4. candidate join at the levels actually in use
-    val usedLevels: Array[Int] = probes.select(col("lvl")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val targetCells = targetsD.withColumn("cell", explode(array(
-      usedLevels.map(l => cell_encode(col("lon"), col("lat"), lit(l))): _*)))
+    // 4. candidate join at the levels actually in use. The level set rides
+    // a broadcast cross join instead of a driver collect — one less
+    // sequential job round-trip (they add up: every action costs seconds
+    // of scheduling/broadcast latency that no amount of cores shrinks).
+    val lvlsInUse = assigned.select(col("lvl")).distinct()
+    val targetCells = targetsD.crossJoin(broadcast(lvlsInUse))
+      .withColumn("cell", cell_encode(col("lon"), col("lat"), col("lvl")))
+      .drop("lvl")
     val ranked = probes.join(targetCells, "cell")
       .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .localCheckpoint() // <= |queries| * k rows; cuts recompute + lineage
 
-    // 5. per-level guaranteed radius; proof
+    // 5. per-level guaranteed radius; proof (cheap aggs over the
+    // checkpointed top-k — recomputed per consumer, no extra job)
     def guaranteed(l: Int): Double =
       (ringK - 1) * math.min(CellIndex.cellLonWidth(l), CellIndex.cellLatHeight(l))
-    val radius = usedLevels.foldLeft(lit(0.0)) { (acc, l) =>
+    val radius = levels.foldLeft(lit(0.0)) { (acc, l) =>
       when(col("lvl") === l, guaranteed(l)).otherwise(acc)
     }
     val proof = ranked.groupBy("qid")
       .agg(count(lit(1)).as("n"), max("dist").as("kth"), first("lvl").as("lvl"))
       .withColumn("complete", col("n") === k && col("kth") < radius)
-      .localCheckpoint() // one row per query; feeds 3 consumers below
     val provenQids = proof.filter(col("complete")).select("qid")
     val proven = ranked.join(provenQids.hint("broadcast"), Seq("qid"), "left_semi")
       .select(out.head, out.tail: _*)
@@ -193,21 +200,17 @@ object SpatialJoins {
     }
     val needs = proof.filter(!col("complete") && col("n") === k)
       .select(col("qid"), lvl2Expr.as("lvl"))
-    val usedLevels2: Array[Int] = needs.select("lvl").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val round2 = if (usedLevels2.isEmpty) ranked.limit(0).select(out.head, out.tail: _*)
-    else {
-      val probes2 = queries.join(needs, "qid")
-        .withColumn("cell", explode(cell_kring(
-          cell_encode(col("qlon"), col("qlat"), col("lvl")), lit(ringK))))
-      val targetCells2 = targetsD.withColumn("cell", explode(array(
-        usedLevels2.map(l => cell_encode(col("lon"), col("lat"), lit(l))): _*)))
-      probes2.join(targetCells2, "cell")
-        .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(out.head, out.tail: _*)
-    }
+    val probes2 = queries.join(needs, "qid")
+      .withColumn("cell", explode(cell_kring(
+        cell_encode(col("qlon"), col("qlat"), col("lvl")), lit(ringK))))
+    val targetCells2 = targetsD.crossJoin(broadcast(needs.select("lvl").distinct()))
+      .withColumn("cell", cell_encode(col("lon"), col("lat"), col("lvl")))
+      .drop("lvl")
+    val round2 = probes2.join(targetCells2, "cell")
+      .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(out.head, out.tail: _*)
 
     // 7. brute backstop only for pathological queries (< k candidates found,
     // e.g. k > |targets| in range, or no candidates at any level)
