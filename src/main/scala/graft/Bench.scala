@@ -52,12 +52,16 @@ object Bench {
   }
 
   /** The scaling job: identical plan + input at any parallelism. Returns
-   * total join-output rows (the throughput numerator). */
+   * total join-output rows (the throughput numerator). The kNN query count
+   * scales with input size (capped) so the kNN phase — the highest-variance
+   * stage under host CPU-steal storms (one driver-window attempt logged
+   * 374 s vs a typical ~40 s) — stays a bounded share of the job. */
   def scalingJob(spark: SparkSession, nPoints: Long): Long = {
     graft.functions.GraftFunctions.register(spark)
+    val nQueries = math.min(10000L, math.max(2000L, nPoints / 1000))
     val pts = SyntheticScale.points(spark, nPoints)
     val polys = SyntheticScale.rectPolys(spark, 1000)
-    val queries = SyntheticScale.queryPoints(spark, 20000)
+    val queries = SyntheticScale.queryPoints(spark, nQueries)
     def phase[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       System.err.println(f"[bench]   $name%-10s n=$nPoints ${(System.nanoTime() - t0) / 1e9}%8.2f s")
@@ -105,14 +109,19 @@ object Bench {
       // cold compilation (same discipline as the scaling study)
       try scalingJob(spark, 50000)
       catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       names.map { name =>
+        // unpersist only the RDDs THIS query created (operator-internal
+        // localCheckpoints): a blanket unpersist would truncate the lineage
+        // of any table a shared fixture may cache in the future (ADVICE.md)
+        val keepIds = spark.sparkContext.getPersistentRDDs.keySet
         val (rows, sec) =
           try time(SparkEntry.queries(name)(spark, sfDir).count())
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); (-1L, -1.0) }
         System.err.println(f"[bench] $name%-22s ${sec}%8.2f s  $rows%10d rows")
-        // drop operator-internal localCheckpoints between queries
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => keepIds(id) }.values.foreach(_.unpersist(false))
         name -> (sec, rows)
       }
     }
@@ -121,14 +130,43 @@ object Bench {
     val headSec = results.filter(r => headline.contains(r._1)).map(_._2._1).filter(_ >= 0).sum
     val headThroughput = if (headSec > 0) headRows / headSec else 0.0
 
+    // Emit the summary BOTH as a plain stdout line and as a file: the round
+    // driver's machine gate failed to parse r01's line when sbt's logger
+    // prefixed it ("parsed": null in BENCH_r01.json). The file is immune to
+    // any log-prefix plumbing; it is (re)written after the suite AND after
+    // the scaling study so a timeout mid-study still leaves suite metrics.
+    val benchOutPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    val qs = results.map { case (k, (sec, _)) => s""""$k":$sec""" }.mkString("{", ",", "}")
+    val rs = results.map { case (k, (_, rows)) => s""""$k":$rows""" }.mkString("{", ",", "}")
+    def summaryJson(scaling: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,""" +
+        s""""join_output_rows_per_sec":$headThroughput,"cpus":$cpus,"sf":"$sfDir"$scaling}"""
+    def writeSummary(scaling: String): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(benchOutPath), summaryJson(scaling) + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] write $benchOutPath failed: $e") }
+    writeSummary("")
+
     // ---- part 2: scaling study (same job, same input, lo vs hi parallelism,
     // each measured in its own fresh JVM; see child mode above)
     val scaling = if (!doScaling) "" else {
       // This sandbox VM shares a host: /proc/stat shows steal bursts taking
       // up to ~80% of CPU for minutes, which turns any single timing into a
-      // coin flip (observed 5-7x swings on identical runs). Measure the
-      // steal fraction across each child run; accept a clean run
-      // immediately, otherwise retry and keep the fastest of 3.
+      // coin flip (observed 5-7x swings on identical runs; the r01 driver
+      // window recorded local[32] 1.4x SLOWER than local[8]). Methodology:
+      //   - a FIXED number of interleaved lo/hi rounds, alternating order
+      //     (lo,hi / hi,lo / ...) so both levels sample the same host
+      //     conditions and slow drift cancels. The round count never depends
+      //     on the measured efficiency — a pass-conditioned stopping rule
+      //     would bias the report upward (ADVICE.md).
+      //   - per-attempt host-steal measurement from /proc/stat; an attempt
+      //     with steal above SPARK_GRAFT_STEAL_MAX is DIRTY: it is retried
+      //     (budget permitting) and only used if no clean attempt exists.
+      //     Rejection keys on measured environment noise, never on the
+      //     resulting efficiency value.
+      //   - keep the fastest CLEAN attempt per level (host noise is strictly
+      //     one-sided: it only slows runs down).
+      //   - a wall-clock budget bounds the whole study.
       def cpuStat(): (Long, Long) =
         try {
           val src = scala.io.Source.fromFile("/proc/stat")
@@ -137,15 +175,6 @@ object Bench {
             (f(7), f.sum)
           } finally src.close()
         } catch { case _: Throwable => (0L, 1L) }
-      def attemptAt(cpus: Int, attempt: Int): (Long, Double) = {
-        val (st0, tot0) = cpuStat()
-        val r = measuredOnce(cpus)
-        val (st1, tot1) = cpuStat()
-        val steal = (st1 - st0).toDouble / math.max(1L, tot1 - tot0)
-        System.err.println(
-          f"[bench] scaling cpus=$cpus attempt=$attempt sec=${r._2}%.2f host_steal=${steal * 100}%.1f%%")
-        r
-      }
       def measuredOnce(cpus: Int): (Long, Double) = {
         val javaBin = s"${System.getProperty("java.home")}/bin/java"
         val jvmArgs = java.lang.management.ManagementFactory
@@ -168,35 +197,55 @@ object Bench {
             (r.toLong, s.toDouble)
         }.getOrElse(sys.error(s"scaling child (cpus=$cpus) failed, rc=$rc"))
       }
-      // Interleave lo/hi attempts so both parallelism levels sample the same
-      // host conditions (the shared host has multi-minute slow phases that a
-      // per-level retry loop can land entirely inside, inverting the ratio);
-      // keep the fastest of each, stop once the 0.8 criterion is clearly
-      // demonstrated or 3 rounds are done. All attempts are logged above.
-      var bestLo = attemptAt(cpusLo, 1)
-      var bestHi = attemptAt(cpusHi, 1)
-      var round = 1
-      def eff0 = ((bestHi._1 / bestHi._2) / (bestLo._1 / bestLo._2)) /
-        (cpusHi.toDouble / cpusLo)
-      while (round < 3 && eff0 < 0.82) {
-        round += 1
-        val lo = attemptAt(cpusLo, round)
-        val hi = attemptAt(cpusHi, round)
-        if (lo._2 < bestLo._2) bestLo = lo
-        if (hi._2 < bestHi._2) bestHi = hi
+
+      val stealMax = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "0.02").toDouble
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
+      val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "1500").toDouble
+      final case class Attempt(cpus: Int, rows: Long, sec: Double, steal: Double) {
+        def clean: Boolean = steal <= stealMax
+        def thr: Double = rows / sec
       }
-      val (rowsLo, secLo) = bestLo
-      val (rowsHi, secHi) = bestHi
-      val thrLo = rowsLo / secLo
-      val thrHi = rowsHi / secHi
-      val eff = (thrHi / thrLo) / (cpusHi.toDouble / cpusLo)
-      f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":$secLo%.3f,"sec_hi":$secHi%.3f,"rows_per_sec_lo":$thrLo%.1f,"rows_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f}"""
+      val t0 = System.nanoTime()
+      def elapsed = (System.nanoTime() - t0) / 1e9
+      val attempts = scala.collection.mutable.ArrayBuffer.empty[Attempt]
+      def attemptAt(cpus: Int): Attempt = {
+        val (st0, tot0) = cpuStat()
+        val (rows, sec) = measuredOnce(cpus)
+        val (st1, tot1) = cpuStat()
+        val steal = (st1 - st0).toDouble / math.max(1L, tot1 - tot0)
+        val a = Attempt(cpus, rows, sec, steal)
+        attempts += a
+        System.err.println(
+          f"[bench] scaling cpus=$cpus attempt=${attempts.size} sec=$sec%.2f " +
+            f"host_steal=${steal * 100}%.1f%% clean=${a.clean} elapsed=${elapsed}%.0fs")
+        a
+      }
+      // fixed interleaved schedule: lo,hi / hi,lo / lo,hi / ...
+      val schedule = (1 to rounds).flatMap(r =>
+        if (r % 2 == 0) Seq(cpusHi, cpusLo) else Seq(cpusLo, cpusHi))
+      for (c <- schedule if elapsed < budgetS) {
+        var a = attemptAt(c)
+        var retries = 0
+        while (!a.clean && retries < 2 && elapsed < budgetS) {
+          retries += 1; a = attemptAt(c)
+        }
+      }
+      def pick(cpus: Int): Attempt = {
+        val mine = attempts.filter(_.cpus == cpus)
+        require(mine.nonEmpty, s"no scaling attempt completed for cpus=$cpus")
+        val clean = mine.filter(_.clean)
+        (if (clean.nonEmpty) clean else mine).minBy(_.sec)
+      }
+      val bestLo = pick(cpusLo)
+      val bestHi = pick(cpusHi)
+      val eff = (bestHi.thr / bestLo.thr) / (cpusHi.toDouble / cpusLo)
+      val attemptsJson = attempts.map(a =>
+        f"""{"cpus":${a.cpus},"sec":${a.sec}%.3f,"steal":${a.steal}%.4f,"clean":${a.clean}}""")
+        .mkString("[", ",", "]")
+      f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":${bestLo.sec}%.3f,"sec_hi":${bestHi.sec}%.3f,"rows_per_sec_lo":${bestLo.thr}%.1f,"rows_per_sec_hi":${bestHi.thr}%.1f,"efficiency":$eff%.3f,"steal_max":$stealMax,"rounds":$rounds,"attempts":$attemptsJson}"""
     }
 
-    val qs = results.map { case (k, (sec, _)) => s""""$k":$sec""" }.mkString("{", ",", "}")
-    val rs = results.map { case (k, (_, rows)) => s""""$k":$rows""" }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,""" +
-        s""""join_output_rows_per_sec":$headThroughput,"cpus":$cpus,"sf":"$sfDir"$scaling}""")
+    writeSummary(scaling)
+    println(summaryJson(scaling))
   }
 }

@@ -21,32 +21,50 @@ object CoverageQueries {
     spark
   }
 
+  /** The deterministic 20-record .osc batch behind `s1_osmchange_xml` —
+   * single source of truth for both the synthesized XML and the VALUES
+   * oracle (same discipline as DerivedTables' shared derivation strings). */
+  private final case class S1Rec(i: Int, env: String, objType: String,
+                                 id: Long, version: Int) {
+    /** reference classifier: deleted -> delete, v1 -> create, else modify
+     * (reference: src/osm/OsmObjectHelper.cpp:281-286) */
+    def action2: String =
+      if (env == "delete") "delete" else if (version == 1) "create" else "modify"
+  }
+  private val s1Recs: Seq[S1Rec] = (0 until 20).map { i =>
+    val env = Seq("create", "modify", "delete")(i % 3)
+    if (i % 4 == 3) S1Rec(i, env, "way", 200 + i, 1 + i % 5)
+    else S1Rec(i, env, "node", 100 + i, 1 + i % 5)
+  }
+
   private def W(names: String*): String = DerivedTables.withClause(names: _*)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1: OsmChange XML scan via the native Spark XML source. Synthesizes a
     // deterministic .osc batch (no external data), reads + flattens it, and
-    // feeds the P1 classifier. No SQL oracle (DuckDB has no XML reader);
-    // the driver records the rows-only check, OsmChangeXmlSpec asserts the
-    // golden content.
+    // feeds the P1 classifier. DuckDB has no XML reader, but the batch is
+    // deterministic, so the oracle is a VALUES literal generated from the
+    // SAME record list (s1Recs) — closing the r01 no_oracle row.
+    // OsmChangeXmlSpec still asserts the full golden content (tags/nd/ts).
     "s1_osmchange_xml" -> ((s, dir) => {
       prep(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("osc_cov")
-      val osc = (0 until 20).map { i =>
-        val env = Seq("create", "modify", "delete")(i % 3)
+      val osc = s1Recs.map { r =>
+        val i = r.i
         val body =
-          if (i % 4 == 3)
-            s"""<way id="${200 + i}" version="${1 + i % 5}" timestamp="2024-02-0${1 + i % 9}T00:00:0${i % 10}Z"><nd ref="${i}"/><nd ref="${i + 1}"/></way>"""
+          if (r.objType == "way")
+            s"""<way id="${r.id}" version="${r.version}" timestamp="2024-02-0${1 + i % 9}T00:00:0${i % 10}Z"><nd ref="${i}"/><nd ref="${i + 1}"/></way>"""
           else
-            s"""<node id="${100 + i}" version="${1 + i % 5}" timestamp="2024-02-0${1 + i % 9}T00:00:0${i % 10}Z" lon="${i}.5" lat="${i % 80}.25"><tag k="n" v="v$i"/></node>"""
-        s"<$env>$body</$env>"
+            s"""<node id="${r.id}" version="${r.version}" timestamp="2024-02-0${1 + i % 9}T00:00:0${i % 10}Z" lon="${i}.5" lat="${i % 80}.25"><tag k="n" v="v$i"/></node>"""
+        s"<${r.env}>$body</${r.env}>"
       }.mkString(
         """<?xml version="1.0"?><osmChange version="0.6">""", "", "</osmChange>")
       java.nio.file.Files.writeString(tmp.resolve("batch.osc"), osc)
       graft.ops.ChangeBatch.classify(
         graft.sources.OsmChangeXml.read(s, tmp.toString + "/*.osc")
           .withColumn("deleted", when(col("action") === "delete", 1).otherwise(0)))
-        .select(col("obj_type"), col("id"), col("version"), col("action2"))
+        .select(col("obj_type"), col("id"), col("version").cast("long").as("version"),
+          col("action2"))
     }),
 
     // A2: way member GROUP_CONCAT (ids + positions, ';'-joined, pos order)
@@ -106,15 +124,18 @@ object CoverageQueries {
         .select(col("way_id"), col("m.node_id").as("node_id"), col("m.pos").as("pos"))
     }),
 
-    // F6: XML entity encoding chain
+    // F6: XML entity encode + decode round-trip + isEncoded predicate
+    // (reference: src/util/XmlHelper.cpp:109-179; decode's escaping
+    // backslash before quotes reproduced verbatim)
     "f6_xml_encode" -> ((s, dir) => {
       prep(s, dir)
-      val raw = concat(lit("a&b<"), col("source"), lit(">\"c'd"))
-      val enc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
-        "\"" -> "&quot;", "'" -> "&apos;")
-        .foldLeft(raw) { case (c, (from, to)) => regexp_replace(c, java.util.regex.Pattern.quote(from), to) }
+      val raw = concat(lit("a&b<"), col("source"), lit(">\"c'd\t"))
+      val enc = graft.functions.XmlText.xmlEncode(raw)
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), enc.as("encoded"))
+        .select(col("doc_id"), enc.as("encoded"),
+          graft.functions.XmlText.xmlDecode(enc).as("decoded"),
+          graft.functions.XmlText.isXmlEncoded(enc).as("enc_is_encoded"),
+          graft.functions.XmlText.isXmlEncoded(raw).as("raw_is_encoded"))
     }),
 
     // O2: global id_version sort with scale-aware range-partitioned ranking
@@ -131,6 +152,42 @@ object CoverageQueries {
       prep(s, dir)
       GeometryBuild.buildWayGeoms(s.table("way_members"), s.table("node_geoms"))
         .select(col("way_id"), col("length"), col("envelope"), col("centroid"))
+    }),
+
+    // F12 area path: closed ways -> POLYGON + shoelace area
+    "way_polygons" -> ((s, dir) => {
+      prep(s, dir)
+      GeometryBuild.buildWayPolygons(s.table("way_members"), s.table("node_geoms"))
+        .select(col("way_id"), col("wkt"), col("area"),
+          col("n_points").cast("long").as("n_points"))
+    }),
+
+    // F12 multipolygon assembly: outer-way rings -> MULTIPOLYGON + area sum
+    "rel_polygons" -> ((s, dir) => {
+      prep(s, dir)
+      GeometryBuild.buildRelPolygons(s.table("rel_members"),
+        s.table("way_members"), s.table("node_geoms"))
+        .select(col("rel_id"), col("n_rings"), col("area"), col("wkt"))
+    }),
+
+    // P7: geometry-only MERGE through the osm2rdf option gate — a dump
+    // "built without --add-centroid" must refresh wkt/length/envelope for
+    // dirty ways while leaving centroid untouched
+    // (reference: src/osm/Osm2ttl.cpp:114-121, OsmChangeHandler.cpp:446-450)
+    "p7_geom_only_update" -> ((s, dir) => {
+      prep(s, dir)
+      import graft.ops.{DeltaApply, GeomOptions}
+      val snapshot = GeometryBuild.buildWayGeoms(s.table("way_members"), s.table("node_geoms"))
+        .select("way_id", "wkt", "length", "envelope", "centroid")
+      val shifted = s.table("node_geoms").withColumn("lon", col("lon") + 0.01)
+      val dirtyWays = s.table("way_members").filter(col("node_id") % 10 === 0)
+        .select("way_id").distinct()
+      val dirtyMembers = s.table("way_members").join(dirtyWays, Seq("way_id"), "left_semi")
+      val updates = GeometryBuild.buildWayGeoms(dirtyMembers, shifted)
+        .select("way_id", "wkt", "length", "envelope", "centroid")
+      val opts = GeomOptions.fromOsm2rdfOptions(Map(GeomOptions.AddCentroid -> "false"))
+      DeltaApply.applyGeometryOptioned(snapshot, updates, "way_id", opts)
+        .select(col("way_id"), col("wkt"), col("length"), col("envelope"), col("centroid"))
     }),
 
     // relation assembly completeness flag (osm2rdf:hasCompleteGeometry)
@@ -154,7 +211,48 @@ object CoverageQueries {
       FROM way_members w JOIN node_geoms g ON w.node_id = g.id
       GROUP BY w.way_id)"""
 
+  /** wpts + the WKT point texts and node-id list (polygon/ring oracles). */
+  private val wayRingCte = """
+    wring AS (
+      SELECT w.way_id,
+             list(CAST(printf('%.7f', g.lon) AS DOUBLE) ORDER BY w.pos, w.node_id) AS xs,
+             list(CAST(printf('%.7f', g.lat) AS DOUBLE) ORDER BY w.pos, w.node_id) AS ys,
+             list(printf('%.7f %.7f', g.lon, g.lat) ORDER BY w.pos, w.node_id) AS ptxt,
+             list(w.node_id ORDER BY w.pos, w.node_id) AS nids
+      FROM way_members w JOIN node_geoms g ON w.node_id = g.id
+      GROUP BY w.way_id)"""
+
+  /** sequential-fold shoelace |area| over 1-based coordinate lists x/y. */
+  private def shoelaceSql(x: String, y: String): String =
+    s"""abs(list_reduce(list_prepend(0.0::DOUBLE,
+      [$x[i] * $y[i+1] - $x[i+1] * $y[i] for i in range(1, len($x))]),
+      (a, b) -> a + b)) / 2.0"""
+
+  /** derived-geometry SQL over xs/ys lists (engine st_* parity: sequential
+   * folds; envelope corner walk per reference way.ttl; centroid = vertex
+   * mean). */
+  private val lenFromXsYs = """list_reduce(list_prepend(0.0::DOUBLE,
+      [sqrt((xs[i+1] - xs[i]) * (xs[i+1] - xs[i]) + (ys[i+1] - ys[i]) * (ys[i+1] - ys[i]))
+       for i in range(1, len(xs))]), (a, b) -> a + b)"""
+  private val envFromXsYs = """'POLYGON((' ||
+          printf('%.7f %.7f', list_min(xs), list_min(ys)) || ',' ||
+          printf('%.7f %.7f', list_min(xs), list_max(ys)) || ',' ||
+          printf('%.7f %.7f', list_max(xs), list_max(ys)) || ',' ||
+          printf('%.7f %.7f', list_max(xs), list_min(ys)) || ',' ||
+          printf('%.7f %.7f', list_min(xs), list_min(ys)) || '))'"""
+  private val cenFromXsYs = """'POINT(' || printf('%.7f %.7f',
+          list_reduce(list_prepend(0.0::DOUBLE, xs), (a, b) -> a + b) / len(xs),
+          list_reduce(list_prepend(0.0::DOUBLE, ys), (a, b) -> a + b) / len(ys)) || ')'"""
+
   def oracleSql: Map[String, String] = Map(
+    "s1_osmchange_xml" -> {
+      val rows = s1Recs.map(r =>
+        s"('${r.objType}', CAST(${r.id} AS BIGINT), CAST(${r.version} AS BIGINT), '${r.action2}')")
+        .mkString(",\n        ")
+      s"""SELECT obj_type, id, version, action2 FROM (VALUES
+        $rows) AS t(obj_type, id, version, action2)"""
+    },
+
     "a2_member_concat" -> s"""${W("way_members")}
       SELECT way_id,
              string_agg(node_id, ';' ORDER BY pos, node_id) AS member_ids,
@@ -177,12 +275,17 @@ object CoverageQueries {
     "f4_member_list_roundtrip" -> s"""${W("way_members")}
       SELECT way_id, node_id, pos FROM way_members""",
 
-    "f6_xml_encode" -> """
+    "f6_xml_encode" -> {
+      import graft.functions.XmlText
+      val raw = """'a&b<' || source || '>"c''d' || chr(9)"""
+      s"""
       SELECT doc_id,
-             replace(replace(replace(replace(replace(
-               'a&b<' || source || '>"c''d',
-               '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '''', '&apos;') AS encoded
-      FROM documents""",
+             ${XmlText.sqlEncode(s"($raw)")} AS encoded,
+             ${XmlText.sqlDecode(XmlText.sqlEncode(s"($raw)"))} AS decoded,
+             ${XmlText.sqlIsEncoded(XmlText.sqlEncode(s"($raw)"))} AS enc_is_encoded,
+             ${XmlText.sqlIsEncoded(s"($raw)")} AS raw_is_encoded
+      FROM documents"""
+    },
 
     "o2_global_sort" -> s"""${W("changes")}
       SELECT ROW_NUMBER() OVER (ORDER BY obj_type, id, version, eid) AS rn,
@@ -196,14 +299,72 @@ object CoverageQueries {
            for i in range(1, len(xs))]), (a, b) -> a + b) AS length,
         'POLYGON((' ||
           printf('%.7f %.7f', list_min(xs), list_min(ys)) || ',' ||
-          printf('%.7f %.7f', list_max(xs), list_min(ys)) || ',' ||
-          printf('%.7f %.7f', list_max(xs), list_max(ys)) || ',' ||
           printf('%.7f %.7f', list_min(xs), list_max(ys)) || ',' ||
+          printf('%.7f %.7f', list_max(xs), list_max(ys)) || ',' ||
+          printf('%.7f %.7f', list_max(xs), list_min(ys)) || ',' ||
           printf('%.7f %.7f', list_min(xs), list_min(ys)) || '))' AS envelope,
         'POINT(' || printf('%.7f %.7f',
           list_reduce(list_prepend(0.0::DOUBLE, xs), (a, b) -> a + b) / len(xs),
           list_reduce(list_prepend(0.0::DOUBLE, ys), (a, b) -> a + b) / len(ys)) || ')' AS centroid
       FROM wpts""",
+
+    "p7_geom_only_update" -> s"""${W("way_members", "node_geoms")},
+      base AS (
+        SELECT w.way_id, w.pos, w.node_id, g.lon, g.lat
+        FROM way_members w JOIN node_geoms g ON w.node_id = g.id),
+      worig AS (
+        SELECT way_id,
+               'LINESTRING(' || string_agg(printf('%.7f %.7f', lon, lat), ',' ORDER BY pos, node_id) || ')' AS wkt,
+               list(CAST(printf('%.7f', lon) AS DOUBLE) ORDER BY pos, node_id) AS xs,
+               list(CAST(printf('%.7f', lat) AS DOUBLE) ORDER BY pos, node_id) AS ys
+        FROM base GROUP BY way_id),
+      dirtyw AS (SELECT DISTINCT way_id FROM way_members WHERE node_id % 10 = 0),
+      wshift AS (
+        SELECT way_id,
+               'LINESTRING(' || string_agg(printf('%.7f %.7f', lon + 0.01, lat), ',' ORDER BY pos, node_id) || ')' AS wkt,
+               list(CAST(printf('%.7f', lon + 0.01) AS DOUBLE) ORDER BY pos, node_id) AS xs,
+               list(CAST(printf('%.7f', lat) AS DOUBLE) ORDER BY pos, node_id) AS ys
+        FROM base WHERE way_id IN (SELECT way_id FROM dirtyw) GROUP BY way_id),
+      od AS (SELECT way_id, wkt, $lenFromXsYs AS length, $envFromXsYs AS envelope,
+                    $cenFromXsYs AS centroid FROM worig),
+      sd AS (SELECT way_id, wkt, $lenFromXsYs AS length, $envFromXsYs AS envelope FROM wshift)
+      SELECT o.way_id,
+             coalesce(s.wkt, o.wkt) AS wkt,
+             coalesce(s.length, o.length) AS length,
+             coalesce(s.envelope, o.envelope) AS envelope,
+             o.centroid AS centroid
+      FROM od o LEFT JOIN sd s USING (way_id)""",
+
+    "way_polygons" -> s"""${W("way_members", "node_geoms")}, $wayRingCte
+      SELECT way_id,
+             'POLYGON((' || array_to_string(ptxt, ',') || '))' AS wkt,
+             ${shoelaceSql("xs", "ys")} AS area,
+             CAST(len(ptxt) AS BIGINT) AS n_points
+      FROM wring
+      WHERE len(ptxt) >= 4 AND nids[1] = nids[-1]""",
+
+    "rel_polygons" -> s"""${W("rel_members", "way_members", "node_geoms")}, $wayRingCte,
+      closed AS (
+        SELECT way_id,
+               CASE WHEN nids[1] = nids[-1] THEN ptxt ELSE list_append(ptxt, ptxt[1]) END AS rtxt,
+               CASE WHEN nids[1] = nids[-1] THEN xs ELSE list_append(xs, xs[1]) END AS cxs,
+               CASE WHEN nids[1] = nids[-1] THEN ys ELSE list_append(ys, ys[1]) END AS cys
+        FROM wring),
+      ringa AS (
+        SELECT way_id, array_to_string(rtxt, ',') AS ring_txt,
+               ${shoelaceSql("cxs", "cys")} AS ring_area
+        FROM closed),
+      rel AS (
+        SELECT r.rel_id,
+               list(a.ring_area ORDER BY r.pos, r.member_id) AS areas,
+               list('((' || a.ring_txt || '))' ORDER BY r.pos, r.member_id) AS rts
+        FROM rel_members r JOIN ringa a ON r.member_id = a.way_id
+        WHERE r.member_type = 'way' AND r.role = 'outer'
+        GROUP BY r.rel_id)
+      SELECT rel_id, CAST(len(rts) AS BIGINT) AS n_rings,
+             list_reduce(list_prepend(0.0::DOUBLE, areas), (a, b) -> a + b) AS area,
+             'MULTIPOLYGON(' || array_to_string(rts, ',') || ')' AS wkt
+      FROM rel""",
 
     "rel_complete" -> s"""${W("rel_members", "way_members", "node_geoms")},
       resolvable_ways AS (

@@ -84,6 +84,12 @@ object SparkEntry {
       ChangeBatch.classify(s.table("changes"))
         .select(col("eid"), col("obj_type"), col("id"), col("action2"))
     }),
+    "p2_area_rels" -> ((s, dir) => {
+      prep(s, dir)
+      ChangeBatch.areaRelations(
+        ChangeBatch.classify(ChangeBatch.dedupLatestVersion(s.table("changes"))))
+        .select(col("id"), col("rel_type"))
+    }),
     "o1_dedup_latest" -> ((s, dir) => {
       prep(s, dir)
       ChangeBatch.dedupLatestVersion(s.table("changes"))
@@ -248,6 +254,11 @@ object SparkEntry {
                   WHEN version = 1 THEN 'create'
                   ELSE 'modify' END AS action2
       FROM changes""",
+
+    "p2_area_rels" -> s"""${W("changes")}
+      SELECT id, rel_type FROM ($dedupSql) d
+      WHERE obj_type = 'relation' AND deleted = 0 AND version <> 1
+        AND rel_type IN ('multipolygon', 'boundary')""",
 
     "o1_dedup_latest" -> s"""${W("changes")}
       SELECT obj_type, id, eid, CAST(version AS BIGINT) AS version

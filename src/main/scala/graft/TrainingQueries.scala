@@ -37,7 +37,11 @@ object TrainingQueries {
 
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
-    "minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(docs(s, dir))),
+    // sig serialized to a ','-joined string: the driver's pandas compare
+    // cannot hash an array<long> column (r01 red row "unhashable type:
+    // numpy.ndarray"); the string is value-equivalent and compare-stable
+    "minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(docs(s, dir))
+      .select(col("doc_id"), array_join(col("sig"), ",").as("sig"))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(docs(s, dir))),
     "simhash_sig" -> ((s, dir) => Dedup.simhashes(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
@@ -59,11 +63,13 @@ object TrainingQueries {
       Multimodal.frameSample(Multimodal.decodeMeta(media(s, dir)))),
     "media_resize" -> ((s, dir) =>
       Multimodal.resizeMeta(Multimodal.decodeMeta(media(s, dir)))),
-    // typed batch path (mapPartitions decode stub): rows-only check
+    // typed batch path (mapPartitions decode stub); the stub arithmetic is
+    // md5-derivable, so the same mediaCte oracle covers it (cast to BIGINT
+    // to match the oracle's integer type)
     "media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s, media(s, dir)).toDF()
-        .select(col("doc_id"), col("media_ref"), col("width"), col("height"),
-          col("n_frames"))),
+        .select(col("doc_id"), col("media_ref"), col("width").cast("long"),
+          col("height").cast("long"), col("n_frames").cast("long"))),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame = {
@@ -129,11 +135,13 @@ object TrainingQueries {
   private def fpLane(m: Long, p: Long): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> ${sqlCharHash("t", M1, P1)})), (a, b) -> (a * $m + b) % $p)"
 
-  /** embeddings with sequential-fold norms */
+  /** embeddings with sequential-fold norms; zero-norm vectors dropped
+   * (mirrors Similarity.normed — ADVICE.md NULL-vs-NaN guard) */
   private val embCte = s"""
-    p AS (SELECT vec_id, embedding AS e,
+    p AS (SELECT * FROM (
+          SELECT vec_id, embedding AS e,
                  sqrt(${sqlDotSeq("embedding", "embedding", EmbDim)}) AS n
-          FROM embeddings)"""
+          FROM embeddings) pp WHERE n > 0)"""
 
   private def pairCos(a: String, b: String): String =
     s"${sqlDotSeq(s"$a.e", s"$b.e", EmbDim)} / ($a.n * $b.n)"
@@ -170,10 +178,10 @@ object TrainingQueries {
       q AS (
         SELECT doc_id,
           CAST(len(toks) AS BIGINT) AS n_tokens,
-          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
-          CAST(list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks) AS mean_token_len,
-          CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
-          CAST(len(list_filter(toks, t -> list_contains(${stopwords.mkString("['", "', '", "']")}, t))) AS DOUBLE) / len(toks) AS stopword_ratio
+          CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS ttr,
+          CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks) END AS mean_token_len,
+          CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
+          CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains(${stopwords.mkString("['", "', '", "']")}, t))) AS DOUBLE) / len(toks) END AS stopword_ratio
         FROM tdocs)
       SELECT doc_id, n_tokens, ttr, mean_token_len, alpha_ratio, stopword_ratio,
              ttr * 0.4 + alpha_ratio * 0.4 + (1.0 - stopword_ratio) * 0.2 AS quality_score
@@ -212,7 +220,7 @@ object TrainingQueries {
     "dedup_ngram_jaccard" -> s"WITH $tdocs, $shingleCtes $jaccardSelect",
 
     "minhash_sig" -> s"""WITH $tdocs, $minhashCtes
-      SELECT doc_id, sig FROM sigs""",
+      SELECT doc_id, array_to_string(sig, ',') AS sig FROM sigs""",
 
     "dedup_minhash_lsh" -> s"""WITH $tdocs, $minhashCtes,
       bandrows AS (
@@ -281,6 +289,9 @@ object TrainingQueries {
 
     "media_decode" -> s"""${W("doc_spans")}, $mediaCte
       SELECT doc_id, media_ref, n_bytes, width, height, n_frames FROM dm""",
+
+    "media_features" -> s"""${W("doc_spans")}, $mediaCte
+      SELECT doc_id, media_ref, width, height, n_frames FROM dm""",
 
     "media_frames" -> s"""${W("doc_spans")}, $mediaCte
       SELECT doc_id, media_ref,

@@ -16,14 +16,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop only the localCheckpoints THIS query creates (so state doesn't
+      // accumulate across 40+ queries) — a blanket unpersist would truncate
+      // the lineage of any future shared cached fixture (ADVICE.md)
+      val keepIds = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop operator-internal localCheckpoints so state doesn't
-      // accumulate (and squeeze execution memory) across 40+ queries
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keepIds(id) }.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

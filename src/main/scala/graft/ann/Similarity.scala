@@ -10,47 +10,81 @@ import graft.text.TextFunctions.dotSeq
  * Similarity search over an embedding column (`embeddings(vec_id,
  * embedding: array<float>, label)`).
  *
- * Two plans:
- *  - `bruteTopK` — exact cosine top-k: broadcast the (small) query side,
- *    score every pair, windowed rank. The correctness baseline; O(Q x N)
- *    but embarrassingly parallel and shuffle-free until the final top-k
- *    window (which keys on qid — uniform).
+ * Plans:
+ *  - `bruteTopK` — exact cosine top-k: broadcast the (small, capped) query
+ *    side, score every pair, windowed rank. O(Q x N): correct at any N but
+ *    only affordable for bounded Q — `maxQueries` makes that contract
+ *    explicit instead of letting a huge query side silently cross-join.
  *  - `lshTopK` — scale path: sign-random-projection buckets (deterministic
  *    integer-arithmetic hyperplanes, so the oracle reproduces them); only
  *    same-bucket pairs are scored. Recall trades with #planes; exactness is
  *    per-bucket.
+ *  - `cosineNearDupPairs` — EXACT near-dup pairs via a blocked pair-join:
+ *    uniform block-pair equi-join keys, quadratic FLOPs distributed evenly
+ *    (replaces the r01-registered BroadcastNestedLoopJoin cartesian,
+ *    VERDICT.md). `srpNearDupPairs` is the approximate multi-table-SRP
+ *    scale path with tunable recall.
  *
  * All float math is sequential-fold double arithmetic (TextFunctions.dotSeq)
- * so results are bit-identical to the DuckDB oracle.
+ * so results are bit-identical to the DuckDB oracle. Zero-norm embeddings
+ * are filtered out before any cosine division on both engines (unguarded,
+ * Spark yields NULL while DuckDB yields inf/NaN, with divergent ordering in
+ * the rank window — ADVICE.md).
  */
 object Similarity {
 
   /** Spread tiny-file inputs across cores before CPU-heavy scoring. */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def spread(df: DataFrame): DataFrame = graft.util.Spread.spread(df)
 
-  /** Deterministic hyperplane weight: ((j*7919 + i*104729) % 2001 - 1000)/1000. */
-  private def planeWeight(j: Int, i: Int): Double =
-    (((j.toLong * 7919 + i.toLong * 104729) % 2001) - 1000) / 1000.0
+  /** Per-table i-multipliers (primes; distinct and well-spread mod 2001).
+   * Each table gets a genuinely different hyperplane family — an ADDITIVE
+   * per-table offset in the same congruence family merely shifts one
+   * lattice and produces strongly correlated planes across tables
+   * (measured: multi-table recall barely above single-table). */
+  private val tableMult = Vector(104729L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L, 141650939L, 160481183L)
 
-  def planeWeights(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
-    (0 until numPlanes).map(j => (1 to dim).map(i => planeWeight(j, i)))
+  /** Deterministic hyperplane weight:
+   * ((j*7919 + i*mult(table)) % 2001 - 1000)/1000.
+   * Table 0 reproduces the original single-table weights (oracle parity). */
+  private def planeWeight(table: Int, j: Int, i: Int): Double =
+    (((j.toLong * 7919 + i.toLong * tableMult(table)) % 2001) - 1000) / 1000.0
 
-  /** Sign-random-projection bucket id of an embedding column. */
-  def srpBucket(emb: Column, numPlanes: Int, dim: Int): Column =
-    (0 until numPlanes).map { j =>
-      val w = array((1 to dim).map(i => lit(planeWeight(j, i))): _*)
+  def planeWeights(numPlanes: Int, dim: Int, table: Int = 0): Seq[Seq[Double]] =
+    (0 until numPlanes).map(j => (1 to dim).map(i => planeWeight(table, j, i)))
+
+  /** Sign-random-projection bucket id of an embedding column. Asserts the
+   * actual embedding length equals `dim`: dotSeq folds over
+   * min(len(a), len(b)), so a wrong dim would otherwise silently hash a
+   * prefix — wrong candidates with no error (ADVICE.md). */
+  def srpBucket(emb: Column, numPlanes: Int, dim: Int, table: Int = 0): Column = {
+    val bucket = (0 until numPlanes).map { j =>
+      val w = array((1 to dim).map(i => lit(planeWeight(table, j, i))): _*)
       when(dotSeq(w, emb) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+    when(size(emb) === dim, bucket).otherwise(raise_error(concat(
+      lit(s"srp_bucket: embedding dim != $dim, got "), size(emb).cast("string"))))
+  }
 
-  /** Exact cosine top-k: queries x targets, rank <= k (ties by vid). */
-  def bruteTopK(queries: DataFrame, targets: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-      sqrt(dotSeq(col("embedding"), col("embedding"))).as("qn"))
-    val t = spread(targets).select(col("vec_id").as("vid"), col("embedding").as("temb"),
-      sqrt(dotSeq(col("embedding"), col("embedding"))).as("tn"))
+  /** (vec_id, emb, norm) with zero-norm vectors dropped. */
+  private def normed(vectors: DataFrame, idAs: String, embAs: String,
+                     normAs: String): DataFrame =
+    vectors.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        sqrt(dotSeq(col("embedding"), col("embedding"))).as(normAs))
+      .filter(col(normAs) > 0)
+
+  /** Exact cosine top-k: queries x targets, rank <= k (ties by vid).
+   * `maxQueries` caps the broadcast side — the brute plan is O(Q x N) and
+   * only correct-COST for bounded Q; larger query sets belong on
+   * [[lshTopK]]. */
+  def bruteTopK(queries: DataFrame, targets: DataFrame, k: Int,
+                maxQueries: Long = 100000L): DataFrame = {
+    val q = normed(queries, "qid", "qemb", "qn")
+    val nQ = q.count()
+    require(nQ <= maxQueries,
+      s"bruteTopK: $nQ query vectors exceed maxQueries=$maxQueries; " +
+        "use lshTopK for large query sets")
+    val t = normed(spread(targets), "vid", "temb", "tn")
     val scored = broadcast(q).crossJoin(t)
       .withColumn("cos", dotSeq(col("qemb"), col("temb")) / (col("qn") * col("tn")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
@@ -67,12 +101,10 @@ object Similarity {
    */
   def lshTopK(queries: DataFrame, targets: DataFrame, k: Int,
               numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-      sqrt(dotSeq(col("embedding"), col("embedding"))).as("qn"),
-      srpBucket(col("embedding"), numPlanes, dim).as("bucket"))
-    val t = spread(targets).select(col("vec_id").as("vid"), col("embedding").as("temb"),
-      sqrt(dotSeq(col("embedding"), col("embedding"))).as("tn"),
-      srpBucket(col("embedding"), numPlanes, dim).as("bucket"))
+    val q = normed(queries, "qid", "qemb", "qn")
+      .withColumn("bucket", srpBucket(col("qemb"), numPlanes, dim))
+    val t = normed(spread(targets), "vid", "temb", "tn")
+      .withColumn("bucket", srpBucket(col("temb"), numPlanes, dim))
     val scored = q.join(t, "bucket")
       .withColumn("cos", dotSeq(col("qemb"), col("temb")) / (col("qn") * col("tn")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
@@ -82,17 +114,82 @@ object Similarity {
   }
 
   /**
-   * Embedding-cosine near-dup pairs (cos >= threshold, a < b). Exact
-   * variant; the LSH bucket join is the scale path for the same predicate.
+   * Embedding-cosine near-dup pairs (cos >= threshold, a < b) — EXACT.
+   *
+   * Plan: blocked pair-join. Each vector lands in block
+   * `pmod(vec_id, blocks)`; the B*(B+1)/2 unordered block pairs become
+   * equi-join keys (`pair_id`), each side exploding a row to the pair ids
+   * where its block plays the a-role / b-role. Every vector pair meets in
+   * EXACTLY one pair-id partition, so the result is exact, the shuffle keys
+   * are uniform by construction (each pair-id task scores |block|^2
+   * candidates), and nothing is a BroadcastNestedLoopJoin — unlike the
+   * r01-registered `a.join(b, vec_a < vec_b)` cartesian (VERDICT.md).
+   *
+   * Honesty at scale: exact cosine near-dup at moderate thresholds
+   * (the registered corpus' pairs sit at cos 0.45-0.6, angles 53-63°)
+   * is information-theoretically quadratic in FLOPs — no equality-blocking
+   * LSH separates 60° from the random-pair 90° with usable recall (an
+   * 8-plane SRP table collides such a pair with p≈0.03; measured recall
+   * 5/14 on the sf corpus). This plan keeps the quadratic compute but
+   * distributes it evenly (scales out linearly with executors); for
+   * 10^12-scale corpora use [[srpNearDupPairs]], the approximate variant
+   * with tunable recall, or raise the threshold into LSH-friendly range.
+   *
+   * `blocks` defaults to ~2*sqrt(parallelism) so the pair-id count
+   * comfortably covers the session's shuffle partitions.
    */
-  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    // norms precomputed per vector (identical doubles to the per-pair
-    // recompute, since sqrt(dotSeq(v,v)) is deterministic per row)
-    val a = spread(vectors).select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      sqrt(dotSeq(col("embedding"), col("embedding"))).as("na"))
-    val b = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      sqrt(dotSeq(col("embedding"), col("embedding"))).as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
+                         blocks: Int = 0): DataFrame = {
+    val b0 = if (blocks > 0) blocks
+      else math.max(4, 2 * math.sqrt(
+        vectors.sparkSession.sessionState.conf.numShufflePartitions.toDouble).toInt)
+    val v = normed(spread(vectors), "vec_id", "e", "n")
+      .withColumn("blk", pmod(col("vec_id"), lit(b0)).cast("int"))
+    // a-role: pairs (blk, y) for y >= blk; b-role: pairs (y, blk) for y <= blk
+    val aRep = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+        col("n").as("na"), col("blk").as("ba"),
+        explode(transform(sequence(col("blk"), lit(b0 - 1)),
+          y => col("blk") * b0 + y)).as("pair_id"))
+    val bRep = v.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+        col("n").as("nb"), col("blk").as("bb"),
+        explode(transform(sequence(lit(0), col("blk")),
+          y => y * b0 + col("blk"))).as("pair_id"))
+    aRep.join(bRep, "pair_id")
+      // same-block pair ids see both orientations — keep one; cross-block
+      // ids see exactly one orientation — keep it regardless of id order
+      .filter(col("ba") =!= col("bb") || col("vec_a") < col("vec_b"))
+      .withColumn("cos", dotSeq(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
+  }
+
+  /**
+   * APPROXIMATE near-dup pairs: multi-table SRP candidates + exact verify —
+   * the 10^12-scale path when quadratic FLOPs are unaffordable and bounded
+   * recall is acceptable. Each of `numTables` tables hashes with an
+   * independent hyperplane family (per-table multiplier, not a lattice
+   * offset — offsets of one congruence family produce correlated planes);
+   * a pair is a candidate when it shares a full bucket in ANY table, then
+   * candidates are verified with the exact cosine, so precision is 1.0 and
+   * only recall is approximate: P(miss) = (1 - (1-θ/π)^numPlanes)^numTables.
+   */
+  def srpNearDupPairs(vectors: DataFrame, threshold: Double,
+                      numTables: Int = 8, numPlanes: Int = 8,
+                      dim: Int = 64): DataFrame = {
+    val v = normed(spread(vectors), "vec_id", "e", "n")
+    val bucketRows = v.select(col("vec_id"),
+        posexplode(array((0 until numTables).map(t =>
+          srpBucket(col("e"), numPlanes, dim, t)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val candidates = bucketRows.as("a").join(bucketRows.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    candidates
+      .join(v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("n").as("na")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("n").as("nb")), "vec_b")
       .withColumn("cos", dotSeq(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")

@@ -71,6 +71,12 @@ object DerivedTables {
    * derivation mirrors the reference's classifier: deleted -> delete,
    * version == 1 -> create, else modify —
    * reference: src/osm/OsmObjectHelper.cpp:281-286).
+   *
+   * `rel_type` carries the tags["type"] value for relation records (NULL
+   * for nodes/ways and untyped relations) so the P2 area-relation predicate
+   * — modified relations tagged multipolygon/boundary enter the
+   * modified-areas set — is evaluable downstream of the change scan
+   * (reference: src/osm/RelationHandler.cpp:41-49).
    */
   val changesSql: String = """
     SELECT
@@ -93,7 +99,13 @@ object DerivedTables {
       CASE WHEN event_id % 3 = 0
            THEN (CAST(((event_id % 500) * 104729) % 1700000 AS DOUBLE)) / 10000.0 - 85.0
            ELSE (CAST((event_id * 104729) % 1700000 AS DOUBLE)) / 10000.0 - 85.0
-      END AS lat
+      END AS lat,
+      CASE WHEN event_id % 5 = 4 THEN
+        CASE WHEN event_id % 7 = 0 THEN 'multipolygon'
+             WHEN event_id % 7 = 1 THEN 'boundary'
+             WHEN event_id % 7 = 2 THEN 'route'
+        END
+      END AS rel_type
     FROM events"""
 
   /** Snapshot node geometry table (the store the reference keeps on the

@@ -219,9 +219,13 @@ object Geo {
 
   def envelopeOf(xs: Array[Double], ys: Array[Double]): Envelope = Polygon(xs, ys).envelope
 
+  /** Ring order matches osm2rdf's envelope corner walk — (xmin ymin),
+   * (xmin ymax), (xmax ymax), (xmax ymin), close — so envelope WKT is
+   * string-identical to the reference goldens
+   * (reference: tests/data/way.ttl `osm2rdfgeom:envelope` rows). */
   def envelopeWkt(e: Envelope): String =
-    fmtPolygon(Array(e.xMin, e.xMax, e.xMax, e.xMin, e.xMin),
-               Array(e.yMin, e.yMin, e.yMax, e.yMax, e.yMin))
+    fmtPolygon(Array(e.xMin, e.xMin, e.xMax, e.xMax, e.xMin),
+               Array(e.yMin, e.yMax, e.yMax, e.yMin, e.yMin))
 
   /** Polyline length (planar, degree units — same space the reference's
    * osm2rdf lengths live in). */

@@ -71,6 +71,15 @@ class SnapshotStore(val root: String) {
     lineage.write.mode("append").parquet(s"${seqDir(seq)}/lineage")
   }
 
+  /** A6: per-sequence statistics rows (kind, name, value, applied_seq) from
+   * RunStatistics — committed with the snapshot so lineage carries phase
+   * timings and counters, not just row counts. */
+  def writeStats(stats: DataFrame, seq: Long): Unit =
+    stats.write.mode("overwrite").parquet(s"${seqDir(seq)}/stats")
+
+  def readStats(spark: SparkSession, seq: Long): DataFrame =
+    spark.read.parquet(s"${seqDir(seq)}/stats")
+
   /** Atomic commit marker: temp file + move, so a killed writer never leaves
    * a half-committed sequence looking committed. */
   def commit(seq: Long): Unit = {
@@ -127,31 +136,63 @@ object UpdateJob {
     val startSeq = math.max(fromSeq, store.watermark().map(_ + 1).getOrElse(fromSeq))
     (fromSeq until startSeq).foreach(s => skipped ::= s)
 
-    var seq = startSeq
-    while (seq <= toSeq) {
-      val batch = changes.filter(col("seq") === seq)
-      val compacted = ChangeBatch.dedupLatestVersion(ChangeBatch.classify(batch))
-      val nodeBatch = compacted.filter(col("obj_type") === "node")
-        .select(col("id"), col("action"), col("lon"), col("lat"))
-      snapshot = DeltaApply.applyChangeBatch(snapshot, nodeBatch)
-        .select("id", "lon", "lat")
-        .localCheckpoint(true) // cut lineage: each seq builds on materialized state
+    // A6 accounting for the whole run (counters, phase timers, MERGE guard)
+    val stats = new RunStatistics(spark)
+    var beforeRows = stats.time("init")(snapshot.count())
+    try {
+      var seq = startSeq
+      while (seq <= toSeq) {
+        val batch = changes.filter(col("seq") === seq)
+        val compacted = ChangeBatch.dedupLatestVersion(ChangeBatch.classify(batch))
+        stats.time("classify")(stats.countBatch(compacted))
+        val nodeBatch = compacted.filter(col("obj_type") === "node")
+          .select(col("id"), col("action"), col("lon"), col("lat"))
 
-      // dirty-geometry recompute, scoped to affected ways only
-      val (dirtyWays, _) = ChangeBatch.dependencyClosure(
-        compacted, snapshot, wayMembers, emptyRelMembers(spark))
-      val dirtyMembers = wayMembers.join(dirtyWays.hint("broadcast"), Seq("way_id"), "left_semi")
-      val rebuiltGeoms = GeometryBuild.buildWayGeoms(dirtyMembers, snapshot, withDerived = false)
-        .withColumn("cell", cell_encode(st_x(col("wkt")), st_y(col("wkt")), lit(cellRes)))
+        // expected MERGE effect — the reference's QLever-reported
+        // insert/delete counts, computed store-side here
+        val (expDeleted, expUpserted) =
+          stats.time("merge_expect")(DeltaApply.mergeMetrics(snapshot, nodeBatch))
+        // actual row count rides a CollectMetrics observation on the
+        // checkpoint action (no extra job); count() only as fallback
+        val obs = org.apache.spark.sql.Observation(s"merge-$seq")
+        snapshot = stats.time("merge")(
+          DeltaApply.applyChangeBatch(snapshot, nodeBatch)
+            .select("id", "lon", "lat")
+            .observe(obs, count(lit(1)).as("rows"))
+            .localCheckpoint(true)) // cut lineage: each seq builds on materialized state
+        val afterRows = try {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration._
+          import scala.concurrent.ExecutionContext.Implicits.global
+          // Observation.get blocks until a Dataset action reports metrics;
+          // guard with a timeout in case the checkpoint materialization
+          // bypasses the listener, and fall back to a (cheap) count of the
+          // checkpointed snapshot.
+          Await.result(Future(obs.get), 10.seconds)
+            .get("rows").map(_.asInstanceOf[Long]).getOrElse(snapshot.count())
+        } catch { case _: java.util.concurrent.TimeoutException => snapshot.count() }
+        stats.crossCheckMerge(seq, beforeRows, afterRows, expDeleted, expUpserted)
+        beforeRows = afterRows
 
-      val snapCells = snapshot.withColumn("cell",
-        cell_encode(col("lon"), col("lat"), lit(cellRes)))
-      store.writeTable(snapCells, seq, "node_geoms", "cell", partitions)
-      store.writeTable(rebuiltGeoms, seq, "dirty_way_geoms", "cell", partitions)
-      store.commit(seq)
-      applied ::= seq
-      seq += 1
-    }
+        // dirty-geometry recompute, scoped to affected ways only
+        val (dirtyWays, _) = ChangeBatch.dependencyClosure(
+          compacted, snapshot, wayMembers, emptyRelMembers(spark))
+        val dirtyMembers = wayMembers.join(dirtyWays.hint("broadcast"), Seq("way_id"), "left_semi")
+        val rebuiltGeoms = GeometryBuild.buildWayGeoms(dirtyMembers, snapshot, withDerived = false)
+          .withColumn("cell", cell_encode(st_x(col("wkt")), st_y(col("wkt")), lit(cellRes)))
+
+        val snapCells = snapshot.withColumn("cell",
+          cell_encode(col("lon"), col("lat"), lit(cellRes)))
+        stats.time("write") {
+          store.writeTable(snapCells, seq, "node_geoms", "cell", partitions)
+          store.writeTable(rebuiltGeoms, seq, "dirty_way_geoms", "cell", partitions)
+          store.writeStats(stats.toDF(seq), seq)
+        }
+        store.commit(seq)
+        applied ::= seq
+        seq += 1
+      }
+    } finally stats.close()
     RunReport(applied.reverse, skipped.reverse)
   }
 }

@@ -29,6 +29,20 @@ object ChangeBatch {
         .otherwise("modify"))
 
   /**
+   * P2 area-relation predicate: of the classified records, the modified
+   * relations whose type tag is multipolygon or boundary — these enter the
+   * modified-AREAS set (their assembled polygon geometry must be rebuilt)
+   * in addition to the plain modified-relations set
+   * (reference: src/osm/RelationHandler.cpp:41-49).
+   * Expects a classified batch (`action2` from [[classify]]) carrying the
+   * `rel_type` tag column.
+   */
+  def areaRelations(classified: DataFrame): DataFrame =
+    classified.filter(col("obj_type") === "relation" &&
+      col("action2") === "modify" &&
+      col("rel_type").isin("multipolygon", "boundary"))
+
+  /**
    * O1 last-writer-wins compaction: keep exactly one record per
    * (obj_type, id), ordered by version DESC, deleted DESC, ts DESC —
    * the reference's merge-sort + unique_copy comparator verbatim

@@ -22,6 +22,57 @@ import org.apache.spark.sql.functions._
  *  - geometry-only updates touch only geometry columns (R5 projection,
  *    reference: src/osm/OsmChangeHandler.cpp:849-894).
  */
+/**
+ * P7 osm2rdf option gate: which derived geometry columns exist in the store
+ * — and therefore participate in geometry-only MERGEs — as a function of
+ * the osm2rdf options the dump was built with (reference:
+ * `hasTripleForOption` src/osm/Osm2ttl.cpp:114-121; consumed to gate the
+ * centroid/OBB/envelope/convex-hull/member delete queries at
+ * src/osm/OsmChangeHandler.cpp:446-450, 479-553, 576-638). An option
+ * ABSENT from the map means the column is assumed present (the reference's
+ * conservative default when the endpoint recorded no options).
+ */
+final case class GeomOptions(centroid: Boolean = true, envelope: Boolean = true,
+                             convexHull: Boolean = true, obb: Boolean = true,
+                             memberTriples: Boolean = true) {
+  /** The geometry-column subset a MERGE touches: base geometry (wkt,
+   * length) always; derived columns per flag. Intersect with what the
+   * snapshot actually has. */
+  def geomCols(available: Seq[String]): Seq[String] = {
+    val wanted = Seq("wkt", "length") ++
+      (if (centroid) Seq("centroid") else Nil) ++
+      (if (envelope) Seq("envelope") else Nil) ++
+      (if (convexHull) Seq("convex_hull") else Nil) ++
+      (if (obb) Seq("obb") else Nil)
+    wanted.filter(available.contains)
+  }
+}
+
+object GeomOptions {
+  // osm2rdf long option names (reference: the supportedOsm2rdfOptions list,
+  // src/osm/Osm2ttl.cpp:123-160)
+  val AddCentroid = "add-centroid"
+  val AddEnvelope = "add-envelope"
+  val AddConvexHull = "add-convex-hull"
+  val AddObb = "add-obb"
+  val NoMemberTriples = "no-member-triples"
+
+  /** reference hasTripleForOption: true when the option is absent OR its
+   * value equals the activating condition (src/osm/Osm2ttl.cpp:114-121). */
+  def hasTripleForOption(opts: Map[String, String], option: String,
+                         condition: String = "true"): Boolean =
+    !opts.contains(option) || opts(option) == condition
+
+  /** Build the gate from an osm2rdf-style options map (the reference
+   * fetches this map from the endpoint's meta triples, F11). */
+  def fromOsm2rdfOptions(opts: Map[String, String]): GeomOptions = GeomOptions(
+    centroid = hasTripleForOption(opts, AddCentroid),
+    envelope = hasTripleForOption(opts, AddEnvelope),
+    convexHull = hasTripleForOption(opts, AddConvexHull),
+    obb = hasTripleForOption(opts, AddObb),
+    memberTriples = hasTripleForOption(opts, NoMemberTriples, "false"))
+}
+
 object DeltaApply {
 
   /**
@@ -63,6 +114,18 @@ object DeltaApply {
       df.withColumn(c, coalesce(col(s"__new_$c"), col(c)))
     }
     updated.select(snapshot.columns.map(col): _*)
+  }
+
+  /** [[applyGeometryOnly]] with the column subset selected by the P7 option
+   * gate instead of hand-listed columns — the Spark form of "only run the
+   * centroid/OBB/envelope/hull delete+insert queries the dump actually
+   * has" (reference: src/osm/OsmChangeHandler.cpp:446-450, 529-551). */
+  def applyGeometryOptioned(snapshot: DataFrame, geomUpdates: DataFrame,
+                            keyCol: String, options: GeomOptions): DataFrame = {
+    val cols = options.geomCols(
+      snapshot.columns.toSeq.intersect(geomUpdates.columns.toSeq))
+    applyGeometryOnly(snapshot, geomUpdates.select((keyCol +: cols).map(col): _*),
+      keyCol, cols)
   }
 
   /** Expected-counts cross-check, mirroring the reference's QLever

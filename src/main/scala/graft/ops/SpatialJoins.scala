@@ -49,6 +49,10 @@ object SpatialJoins {
       .withColumn("packed", st_pack(col("wkt")))
       .withColumn("cell", explode(cell_cover_wkt(col("wkt"), lit(maxCellsPerPoly), lit(maxRes))))
       .select("poly_id", "packed", "cell")
+      // build side is small by contract; materialize once so the
+      // resolution-set collect below and the probe join don't each re-run
+      // the WKT parse + cover computation (VERDICT.md)
+      .localCheckpoint()
     // resolutions actually present in the covers — a tiny driver-side set
     // (metadata, bounded by maxRes), NOT a data collect.
     val resolutions: Array[Int] = covers

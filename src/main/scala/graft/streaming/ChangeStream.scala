@@ -68,9 +68,17 @@ object ChangeStream {
               ChangeBatch.classify(batch.filter(col("seq") === seq)))
             val nodeBatch = compacted.filter(col("obj_type") === "node")
               .select(col("id"), col("action"), col("lon"), col("lat"))
+            // A6 exactly-once guard (shared with UpdateJob): the MERGE must
+            // satisfy after == before - deleted + upserted
+            val before = snapshot.count()
+            val (expDeleted, expUpserted) = DeltaApply.mergeMetrics(snapshot, nodeBatch)
             snapshot = DeltaApply.applyChangeBatch(snapshot, nodeBatch)
               .select("id", "lon", "lat")
               .localCheckpoint(true)
+            val after = snapshot.count()
+            require(after == before - expDeleted + expUpserted,
+              s"stream MERGE count cross-check failed at seq=$seq: " +
+                s"after=$after != $before - $expDeleted + $expUpserted")
             val snapCells = snapshot.withColumn("cell",
               graft.functions.GraftFunctions.cell_encode(
                 col("lon"), col("lat"), lit(cellRes)))

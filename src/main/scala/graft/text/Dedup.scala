@@ -12,9 +12,10 @@ import TextParams._
  * stages. Five independent strategies, cheapest to most semantic:
  *
  *  1. exact        — hash-groupBy on md5(text); keeper = min doc_id.
- *  2. ngramJaccard — exact set similarity over token-trigram shingles via an
- *                    inverted-index self-join (the correctness baseline; at
- *                    scale the LSH variants below bound the candidate set).
+ *  2. ngramJaccard — EXACT set similarity over token-trigram shingles via a
+ *                    prefix-filtered self-join (100% recall, near-linear;
+ *                    the full inverted-index join survives only behind
+ *                    exactBaseline=true as the small-input oracle).
  *  3. minhashLsh   — 16-hash minhash signature, 4x4 banding; candidate pairs
  *                    share >= 1 band, then exact-Jaccard verification. The
  *                    classic shingle -> minhash -> band -> bucket-join plan:
@@ -41,13 +42,7 @@ object Dedup {
         col("group_size"), (col("doc_id") === col("keeper_id")).as("keep"))
   }
 
-  /** Spread a (possibly single-partition) input across the session's shuffle
-   * parallelism before CPU-heavy per-row work. A small parquet arrives as
-   * one split; without this every downstream narrow stage runs serial. */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def spread(df: DataFrame): DataFrame = graft.util.Spread.spread(df)
 
   /**
    * (doc_id, sh: array<string>) shingle sets, one row per doc.
@@ -70,22 +65,90 @@ object Dedup {
     docShingles(docs).select(col("doc_id"), explode(col("sh")).as("shingle"))
 
   /**
-   * Exact n-gram Jaccard pairs >= threshold: inverted-index self-join counts
-   * intersections; set sizes come from a pre-aggregation (no cross join).
+   * Candidate verification shared by the n-gram and MinHash-LSH plans:
+   * exact Jaccard over ONLY the candidate pairs, tokenizing ONLY the docs
+   * appearing in some candidate (broadcast semi-join BEFORE the CPU-heavy
+   * shingle computation; the reference's filter-before-fetch discipline,
+   * src/osm/ReferencesHandler.cpp:27-61).
+   *
+   * The localCheckpoints are load-bearing, not just recompute savers: the
+   * outer jaccard filter's constraints otherwise infer isnotnull(size(sh))
+   * and PushDownPredicates INLINES the whole shingles(tokens(text)) tree
+   * into a Filter evaluated on EVERY doc below the semi-join (filters get
+   * no CollapseProject protection), re-tokenizing the full corpus per
+   * consumer. The checkpoint cuts constraint propagation at a table that is
+   * candidate-docs-small.
    */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
-    val idx = shingleIndex(docs)
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = idx.as("a").join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+  private def verifiedJaccardPairs(docs: DataFrame, candidatesRaw: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val candidates = candidatesRaw
+      .select(col("doc_a"), col("doc_b")).distinct().localCheckpoint()
+    val candidateIds = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val docSh = docShingles(
+        docs.join(candidateIds.hint("broadcast"), Seq("doc_id"), "left_semi"))
+      .withColumn("n", size(col("sh")))
+      .localCheckpoint()
+    candidates
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("na")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("nb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /**
+   * EXACT n-gram Jaccard pairs >= threshold.
+   *
+   * Default plan: prefix-filtered self-join (the PPJoin family, public
+   * set-similarity-join literature). Shingles get a global total order by
+   * ascending document frequency (rare first); a doc of n shingles indexes
+   * only its first  n - ceil(t*n) + 1  shingles in that order. If
+   * J(A,B) >= t then |A∩B| >= ceil(t*|A|) (from i(1+t) >= t(a+b) >= t(a+i)),
+   * so the O-minimal common shingle provably lies in BOTH prefixes — the
+   * prefix-collision join has 100% recall while joining mostly-rare keys,
+   * never the full inverted index (whose common-shingle candidate set is
+   * quadratic — the r01 registered plan, VERDICT.md). Exact intersection
+   * verification then reproduces the all-pairs oracle bit-for-bit.
+   * ceil() takes a 1e-9 epsilon DOWN so float noise in t*n can only
+   * lengthen a prefix (recall-safe), never shorten it.
+   *
+   * `exactBaseline = true` keeps the r01 full inverted-index join as the
+   * small-input oracle-of-record.
+   */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = JaccardThreshold,
+                        exactBaseline: Boolean = false): DataFrame = {
+    if (exactBaseline) {
+      val idx = shingleIndex(docs)
+      val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = idx.as("a").join(idx.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      return inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    }
+    val idx = shingleIndex(docs)
+    // global frequency order (ties by shingle text for determinism)
+    val freq = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = idx.join(freq, "shingle")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+    val withN = ranked.withColumn("n", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val prefixes = withN
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
+      .select("doc_id", "shingle")
+    val candidates = prefixes.as("a").join(prefixes.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    verifiedJaccardPairs(docs, candidates, threshold)
   }
 
   /** (doc_id, sig) minhash signatures. Two projections: shingle hashes once,
@@ -115,37 +178,9 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      // Candidate pairs are small by construction (near-dups + LSH false
-      // positives), but the subtree above them (sig -> band -> self-join)
-      // is the expensive part. Materialize once so the 3 downstream
-      // consumers (verify join + the id semi-join) don't re-run it.
-      .localCheckpoint()
-    // verify ONLY the candidates — and tokenize ONLY the docs appearing in
-    // some candidate pair (broadcast semi-join BEFORE the CPU-heavy shingle
-    // computation; the reference's filter-before-fetch discipline,
-    // src/osm/ReferencesHandler.cpp:27-61). Never the full inverted-index
-    // self-join, whose common-shingle pairs are quadratic in corpus size.
-    val candidateIds = candidates
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    // localCheckpoint is load-bearing here, not just a recompute saver: the
-    // outer jaccard filter's constraints otherwise infer
-    // isnotnull(size(sh)) and PushDownPredicates INLINES the whole
-    // shingles(tokens(text)) tree into a Filter evaluated on EVERY doc
-    // below the semi-join (filters get no CollapseProject protection),
-    // re-tokenizing the full corpus per consumer. The checkpoint cuts
-    // constraint propagation at a table that is candidate-docs-small.
-    val docSh = docShingles(
-        docs.join(candidateIds.hint("broadcast"), Seq("doc_id"), "left_semi"))
-      .withColumn("n", size(col("sh")))
-      .localCheckpoint()
-    candidates
-      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("na")), "doc_a")
-      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("nb")), "doc_b")
-      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    // verify ONLY the candidates (never the full inverted-index self-join,
+    // whose common-shingle pairs are quadratic in corpus size)
+    verifiedJaccardPairs(docs, candidates, threshold)
   }
 
   /** (doc_id, simhash) 60-bit fingerprints (token hashes computed natively). */

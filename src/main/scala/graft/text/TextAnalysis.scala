@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import TextFunctions._
@@ -16,10 +16,7 @@ import TextParams._
 object TextAnalysis {
 
   /** Spread tiny-file inputs across cores before per-row text work. */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def spread(df: DataFrame): DataFrame = graft.util.Spread.spread(df)
 
   /** Token + character counts. */
   def tokenCounts(docs: DataFrame): DataFrame =
@@ -31,6 +28,12 @@ object TextAnalysis {
    * Quality metrics: type-token ratio, mean token length, whitespace-stripped
    * alpha ratio, stopword ratio, and a linear quality score. Single division
    * per ratio keeps Spark/DuckDB doubles bit-identical.
+   *
+   * Zero denominators (empty / punctuation-only documents that tokenize to
+   * nothing) are guarded to 0.0 on BOTH engines: unguarded, Spark's
+   * non-ANSI division yields NULL while DuckDB yields inf/NaN — a latent
+   * oracle mismatch, and NULL scores silently fall out of threshold filters
+   * in a real corpus (ADVICE.md).
    */
   def quality(docs: DataFrame): DataFrame = {
     val toks = col("toks")
@@ -40,13 +43,16 @@ object TextAnalysis {
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(toks, t => array_contains(stopArr, t)))
     val tokenChars = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    def overTokens(num: Column): Column =
+      when(nTok === 0, lit(0.0)).otherwise(num.cast("double") / nTok)
     spread(docs).select(col("doc_id"), col("text"), tokens(col("text")).as("toks")).select(
       col("doc_id"),
       nTok.cast("long").as("n_tokens"),
-      (nTypes.cast("double") / nTok).as("ttr"),
-      (tokenChars.cast("double") / nTok).as("mean_token_len"),
-      (alphaChars.cast("double") / length(col("text"))).as("alpha_ratio"),
-      (nStop.cast("double") / nTok).as("stopword_ratio"))
+      overTokens(nTypes).as("ttr"),
+      overTokens(tokenChars).as("mean_token_len"),
+      when(length(col("text")) === 0, lit(0.0))
+        .otherwise(alphaChars.cast("double") / length(col("text"))).as("alpha_ratio"),
+      overTokens(nStop).as("stopword_ratio"))
       .withColumn("quality_score",
         col("ttr") * 0.4 + col("alpha_ratio") * 0.4 +
           (lit(1.0) - col("stopword_ratio")) * 0.2)

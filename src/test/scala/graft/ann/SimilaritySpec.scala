@@ -31,10 +31,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.length === 3)
   }
 
-  test("cosineNearDupPairs finds only the near pair") {
+  test("cosineNearDupPairs (blocked exact plan) finds only the near pair") {
     val pairs = Similarity.cosineNearDupPairs(sample, 0.9)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
+  }
+
+  test("blocked plan covers every pair exactly once regardless of block count") {
+    // 40 vectors, many near-dup pairs; every blocks setting must agree
+    val many = vecs((0L until 40L).map(i =>
+      (i, Seq((1000 + (i % 7)).toFloat, (i % 3).toFloat, 1f))): _*)
+    def run(blocks: Int) = Similarity.cosineNearDupPairs(many, 0.999, blocks)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val b1 = run(1)
+    assert(b1.nonEmpty)
+    assert(run(3) === b1)
+    assert(run(8) === b1)
+    // no duplicates: count equals set size
+    val cnt = Similarity.cosineNearDupPairs(many, 0.999, 5).count()
+    assert(cnt === run(5).size)
+  }
+
+  test("srpNearDupPairs is a verified subset of the exact pairs") {
+    val exact = Similarity.cosineNearDupPairs(sample, 0.9)
+      .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val approx = Similarity.srpNearDupPairs(sample, 0.9, numTables = 4,
+      numPlanes = 4, dim = 3)
+      .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(approx.subsetOf(exact))
+  }
+
+  test("srpBucket raises on a dim mismatch instead of hashing a prefix") {
+    val ex = intercept[Exception] {
+      sample.select(Similarity.srpBucket(col("embedding"), 8, 64).as("b")).collect()
+    }
+    assert(ex.getMessage.contains("srp_bucket") ||
+      Option(ex.getCause).exists(_.getMessage.contains("srp_bucket")))
   }
 
   test("srpBucket: deterministic, equal for identical vectors") {

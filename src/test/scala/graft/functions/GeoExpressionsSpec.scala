@@ -46,7 +46,8 @@ class GeoExpressionsSpec extends AnyFunSuite {
       st_convex_hull(lit(ls)).as("hull"),
       st_obb(lit(ls)).as("obb")).head
     assert(row.getDouble(0) === 7.0)
-    assert(row.getString(1) === "POLYGON((0.0000000 0.0000000,3.0000000 0.0000000,3.0000000 4.0000000,0.0000000 4.0000000,0.0000000 0.0000000))")
+    // corner walk matches osm2rdf (reference: tests/data/way.ttl envelope)
+    assert(row.getString(1) === "POLYGON((0.0000000 0.0000000,0.0000000 4.0000000,3.0000000 4.0000000,3.0000000 0.0000000,0.0000000 0.0000000))")
     assert(row.getString(2) === "POINT(2.0000000 1.3333333)")
     assert(row.getString(3).startsWith("POLYGON(("))
   }

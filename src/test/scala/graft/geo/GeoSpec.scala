@@ -73,7 +73,7 @@ class GeoSpec extends AnyFunSuite {
     val e = envelopeOf(xs, ys)
     assert(e === Envelope(-2, -1, 4, 5))
     assert(envelopeWkt(e) ===
-      "POLYGON((-2.0000000 -1.0000000,4.0000000 -1.0000000,4.0000000 5.0000000,-2.0000000 5.0000000,-2.0000000 -1.0000000))")
+      "POLYGON((-2.0000000 -1.0000000,-2.0000000 5.0000000,4.0000000 5.0000000,4.0000000 -1.0000000,-2.0000000 -1.0000000))")
   }
 
   test("line length and centroid") {

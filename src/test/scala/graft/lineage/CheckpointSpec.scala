@@ -76,6 +76,31 @@ class CheckpointSpec extends AnyFunSuite {
     assert(lineage.forall { case (_, lo, hi, n) => lo <= hi && n > 0 })
   }
 
+  test("A6: committed stats carry phase timings, batch counters and the MERGE cross-check") {
+    val root = Files.createTempDirectory("graft-stats").toString
+    val store = new SnapshotStore(root)
+    UpdateJob.run(spark, store, changes, nodeGeoms, wayMembers, 0, 1)
+    val stats = store.readStats(spark, 1)
+      .select("kind", "name", "value").as[(String, String, Long)].collect()
+    val kinds = stats.map(_._1).toSet
+    assert(kinds.contains("phase_ms") && kinds.contains("counter"))
+    // phases actually timed
+    val phases = stats.filter(_._1 == "phase_ms").map(_._2).toSet
+    assert(Set("merge", "write", "classify").subsetOf(phases))
+    // batch composition counters: each seq modifies 1 node + deletes 1 node
+    val c = stats.filter(_._1 == "counter").map(t => t._2 -> t._3).toMap
+    assert(c.get("modify_nodes").contains(2L)) // seq 0 + seq 1
+    assert(c.get("delete_nodes").contains(2L))
+    // cross-check numbers recorded and consistent: after = before - del + ups
+    for (s <- Seq(0L, 1L)) {
+      val before = c(s"seq_${s}_rows_before"); val after = c(s"seq_${s}_rows_after")
+      val del = c(s"seq_${s}_rows_deleted"); val ups = c(s"seq_${s}_rows_upserted")
+      assert(after === before - del + ups)
+    }
+    // listener captured at least one action timing
+    assert(stats.exists(_._1 == "action_ns"))
+  }
+
   test("uncommitted sequence directory is not treated as a watermark") {
     val root = Files.createTempDirectory("graft-uncommitted").toString
     val store = new SnapshotStore(root)
