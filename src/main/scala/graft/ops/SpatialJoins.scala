@@ -114,51 +114,180 @@ object SpatialJoins {
    */
   def knnJoin(queries: DataFrame, targets: DataFrame, k: Int,
               levels: Seq[Int] = Seq(20, 18, 16, 14, 12, 10, 8, 6),
-              ringK: Int = 2, proofFactor: Int = 32): DataFrame = {
+              ringK: Int = 2, proofFactor: Int = 32,
+              broadcastQueries: Boolean = true): DataFrame = {
     require(ringK >= 1 && levels.nonEmpty && levels == levels.sorted.reverse,
       "levels must be distinct, finest (largest) first")
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("pid"))
     val out = Seq("qid", "pid", "dist", "rank")
     val res = shiftrightunsigned(col("cell"), 56).cast("int")
+    // dev-only phase timing (GRAFT_KNN_DEBUG=1): prints at each eager step
+    val dbg = sys.env.get("GRAFT_KNN_DEBUG").contains("1")
+    def tt[T](name: String)(f: => T): T =
+      if (!dbg) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[knn] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+      }
 
-    // 0. stack dedup: of co-located targets (identical lon/lat) only the k
-    // smallest pids can ever enter any query's top-k (ties break by pid),
-    // so prune duplicates up front. Duplicate-heavy data otherwise defeats
-    // cell-granularity bounds — a 600-deep stack turns every ring that
-    // touches it into 600x candidates. The rank window's map-side group
-    // limit keeps the extra pass one bounded shuffle.
-    // Materialized once: three downstream jobs (histogram, candidate join,
-    // round-2/brute) would otherwise each re-run the dedup window shuffle.
-    // At warehouse scale this is a maintained table, not a checkpoint.
-    val targetsD = targets
-      .withColumn("__sr", row_number().over(
-        Window.partitionBy(col("lon"), col("lat")).orderBy(col("pid"))))
-      .filter(col("__sr") <= k).drop("__sr")
-      .localCheckpoint()
+    // 0+1. density-guided selective refinement (histogram + stack dedup).
+    //
+    // The r01 plan aggregated every target at the FINEST ladder level and
+    // rolled up: at 10M targets that is a ~|targets|-distinct-key hash
+    // aggregate whose partial maps overflow to sort-based fallback —
+    // measured 355 s of a 540 s job at 8 cores, and the spill serializes on
+    // I/O so it also stopped scaling 8 -> 32. Replacement:
+    //
+    //  a. ONE coarse aggregation at `lc`, the finest ladder level that still
+    //     collapses >= 4:1 (4^lc <= N/4) — partial aggregation stays
+    //     in-memory by construction at any N, on any cluster size.
+    //  b. Ladder levels <= lc roll up from the (small) coarse table.
+    //  c. Ladder levels > lc are counted ONLY over points in "refinable"
+    //     coarse cells — cells with cnt >= proofFactor*k/S, where S bounds
+    //     how many coarse cells a fine ring can straddle (a ring at level l
+    //     is (2*ringK+1)*2^(lc-l) coarse cells wide; a segment of width w
+    //     intersects at most ceil(w)+1 unit intervals, so S =
+    //     (ceil(w)+1)^2 at the finest-gap level). A ring whose coarse
+    //     parents are ALL below the threshold has true population
+    //     < S * proofFactor*k/S = proofFactor*k and could never qualify at
+    //     that level anyway: pruning cold cells cannot flip any assignment
+    //     upward, it only (provably-safely) omits counts that decide
+    //     nothing. Fine-histogram work is therefore proportional to
+    //     HOT-REGION size, not corpus size.
+    //
+    // Stack dedup (co-located targets: only the k smallest pids can ever
+    // enter a top-k, ties break by pid) rides the same split: a stack deep
+    // enough to distort ring width makes its own coarse cell refinable, so
+    // deduping the hot side alone bounds every ring; cold-cell stacks are
+    // <= refineThresh points by definition. Cold targets skip the window
+    // shuffle entirely (the global 10M-row dedup window was the other
+    // non-scaling stage: 15 s at 8 cores, 29 s at 32 — exchange+sort
+    // contention with no compute to hide it).
+    //
+    // Coarse counts are pre-dedup (the dedup needs the coarse histogram to
+    // exist); a cold stack can thus overcount a ring by < refineThresh,
+    // shifting its assignment at most one level finer — a bounded cost
+    // effect, never a correctness one (the proof re-checks every query).
+    //
+    // At warehouse scale coarseCounts/hotD are maintained tables, not
+    // checkpoints.
+    // lc is NOT tied to the ladder: it targets mean occupancy ~6 points per
+    // coarse cell (collapse >= 4:1 for the agg, comfortably under the
+    // refine threshold so uniform regions stay cold). Ladder levels <= lc
+    // roll up from it; ladder levels > lc refine selectively.
+    val nTargets = tt("count")(targets.count())
+    val lc = math.min(levels.max, math.max(levels.min,
+      (math.log(math.max(1024.0, nTargets / 6.0)) / math.log(4.0)).toInt))
+    val fineLevels = levels.filter(_ > lc)
+    val coarseLevels = levels.filter(_ <= lc)
+    // straddle bound S at the fine level CLOSEST to lc (widest ring in
+    // coarse-cell units); e.g. gap 2 -> width 1.25 -> S = 9
+    val safeThresh = {
+      val worstW = fineLevels.reduceOption(math.min)
+        .map(l => (2 * ringK + 1) * math.pow(2.0, lc - l)).getOrElse(1.0)
+      val s = math.pow(math.ceil(worstW) + 1, 2)
+      math.max(1L, (proofFactor.toLong * k / s).toLong)
+    }
+    val dedupW = Window.partitionBy(col("lon"), col("lat")).orderBy(col("pid"))
+    val (targetsD, levelCounts) = if (fineLevels.isEmpty) {
+      // degenerate ladder (all levels coarser than the collapse bound):
+      // global dedup + direct rollup, the r01 shape — safe because the
+      // base agg at levels.max collapses >= 4:1 here by definition of lc
+      val tD = tt("global dedup")(targets
+        .withColumn("__sr", row_number().over(dedupW))
+        .filter(col("__sr") <= k).drop("__sr")
+        .localCheckpoint())
+      val base = tD
+        .groupBy(cell_encode(col("lon"), col("lat"), lit(levels.max)).as("cell"))
+        .agg(count(lit(1)).as("cnt"))
+      val lcs = base
+        .select(explode(array(levels.map(l =>
+          cell_parent(col("cell"), lit(l))): _*)).as("cell"), col("cnt"))
+        .groupBy("cell").agg(sum("cnt").as("cnt"))
+      (tD, lcs)
+    } else {
+      // The coarse histogram is an ASSIGNMENT HEURISTIC, not a correctness
+      // input (the completeness proof + per-query round 2 re-check every
+      // query no matter what level it was assigned), so it is built from a
+      // deterministic hash-sample capped at ~4M rows: a full-corpus
+      // groupBy at lc shuffles nearly |targets| partially-aggregated rows
+      // (per-task key cardinality ~= task rows, so map-side combine
+      // collapses almost nothing — measured 208 s of a ~250 s job at 100M
+      // points), while the sampled aggregate is corpus-size-independent.
+      // Counts are rescaled by 1/f for ring-population estimates; the
+      // proofFactor margin (~8x the geometric minimum) absorbs sampling
+      // error, and a misestimate only shifts WHERE a query's cost is paid
+      // (round 2 / extra candidates), never what it answers.
+      val sampleF = math.min(1.0, 8000000.0 / math.max(1L, nTargets))
+      val sampled = if (sampleF >= 1.0) targets
+        else targets.filter(pmod(xxhash64(col("pid")), lit(1000000)) <
+          lit((sampleF * 1000000).toLong))
+      val coarseCounts = tt("coarse agg")(sampled
+        .groupBy(cell_encode(col("lon"), col("lat"), lit(lc)).as("ccell"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint())
+      // Hot-set bound: `safeThresh` alone is prune-exact but ABSOLUTE — on
+      // a corpus dense enough that mean occupancy approaches it, every cell
+      // qualifies and refinement degenerates to the full-corpus histogram.
+      // The 99.5th-percentile floor caps the refined set at ~0.5% of cells
+      // (true hot spots dominate that tail by construction; a
+      // ring-distorting stack big enough to matter survives sampling and
+      // lands in it — a stack of S appears as ~S*f samples). Raising the
+      // threshold above safeThresh can only UNDER-assign borderline rings —
+      // they fall to a coarser level and pay more candidates; exactness is
+      // untouched.
+      val p995 = tt("p995")(coarseCounts
+        .agg(expr("approx_percentile(cnt, 0.995)")).first().getLong(0))
+      // Refine only GENUINELY hot cells: >= proofFactor*k true points (a
+      // cell that single-handedly qualifies rings at its level). That is
+      // the detectable regime — pf*k*f sampled points stand far above the
+      // p995 noise floor — whereas the exact-criterion threshold
+      // (safeThresh ~ pf*k/9 true points) is under 2 expected samples and
+      // sampling would flag ~1% of cells as false-positive hot, bloating
+      // the hot set ~50x. Borderline cells (between the two thresholds)
+      // simply stay cold: their rings under-assign to a coarser level and
+      // pay at most ~ring-size * safeThresh extra candidates — bounded,
+      // and cost-only (the proof + round 2 re-check every query).
+      val refineThresh = math.max(
+        math.max(1L, math.ceil(proofFactor.toLong * k * sampleF).toLong),
+        p995 + 1)
+      val refinable = coarseCounts.filter(col("cnt") >= refineThresh).select("ccell")
+      val withC = targets.withColumn("ccell",
+        cell_encode(col("lon"), col("lat"), lit(lc)))
+      val hotD = tt("hotD")(withC.join(broadcast(refinable), Seq("ccell"), "left_semi")
+        .withColumn("__sr", row_number().over(dedupW))
+        .filter(col("__sr") <= k).drop("__sr", "ccell")
+        .localCheckpoint())
+      // cold side stays LAZY: a rescan + broadcast anti-join per consumer
+      // costs no shuffle, vs materializing |targets| rows
+      val cold = withC.join(broadcast(refinable), Seq("ccell"), "left_anti")
+        .drop("ccell")
+      // rescale sampled coarse counts back to corpus-scale estimates (the
+      // fine counts below are exact — they aggregate the full hot subset)
+      val rollup = coarseCounts
+        .select(explode(array(coarseLevels.map(l =>
+          cell_parent(col("ccell"), lit(l))): _*)).as("cell"), col("cnt"))
+        .groupBy("cell")
+        .agg((sum("cnt") / lit(sampleF)).cast("long").as("cnt"))
+      val fineAgg = hotD
+        .select(explode(array(fineLevels.map(l =>
+          cell_encode(col("lon"), col("lat"), lit(l))): _*)).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      (hotD.unionByName(cold), rollup.unionByName(fineAgg))
+    }
 
-    // 1. histogram: fine agg over targets, then ALL level rollups in ONE
-    // shuffle (explode each fine cell to its ancestors; map-side combine
-    // collapses the 8x expansion before the exchange)
-    val fineCounts = targetsD
-      .groupBy(cell_encode(col("lon"), col("lat"), lit(levels.max)).as("cell"))
-      .agg(count(lit(1)).as("cnt"))
-    val levelCounts = fineCounts
-      .select(explode(array(levels.map(l =>
-        cell_parent(col("cell"), lit(l))): _*)).as("cell"), col("cnt"))
-      .groupBy("cell").agg(sum("cnt").as("cnt"))
-
-    // 2. ring population per (query, level)
+    // 2. ring population per (query, level): the ring side is queries-sized
+    // — broadcast it so the (corpus-sized) histogram never shuffles
     val rings = queries.select(col("qid"), explode(flatten(array(levels.map(l =>
       cell_kring(cell_encode(col("qlon"), col("qlat"), lit(l)), lit(ringK))): _*))).as("cell"))
-    val ringPop = rings.join(levelCounts, "cell")
+    val ringPop = levelCounts.join(broadcast(rings), "cell")
       .groupBy(col("qid"), res.as("res"))
       .agg(sum("cnt").as("pop"))
 
     // 3. finest level with enough ring population (coarsest as fallback)
-    val assigned = ringPop.groupBy("qid")
+    val assigned = tt("assigned ckpt")(ringPop.groupBy("qid")
       .agg(max(when(col("pop") >= proofFactor.toLong * k, col("res"))).as("lvl"))
       .select(col("qid"), coalesce(col("lvl"), lit(levels.min)).as("lvl"))
-      .localCheckpoint() // one row per query; reused by usedLevels + probes
+      .localCheckpoint()) // one row per query; reused by usedLevels + probes
     val probes = queries.join(assigned, Seq("qid"), "left_outer")
       .withColumn("lvl", coalesce(col("lvl"), lit(levels.min))) // empty-ring queries
       .withColumn("cell", explode(cell_kring(
@@ -168,29 +297,56 @@ object SpatialJoins {
     // a broadcast cross join instead of a driver collect — one less
     // sequential job round-trip (they add up: every action costs seconds
     // of scheduling/broadcast latency that no amount of cores shrinks).
+    // The probe side (<= |queries| * (2*ringK+1)^2 ring rows) is explicitly
+    // broadcast: its lineage goes through a localCheckpoint whose size the
+    // planner can't estimate, so without the hint this planned as a
+    // sort-merge join that SHUFFLED the replicated target side — the whole
+    // candidate join then cost one exchange of |targets| * |levels-in-use|
+    // rows, by far the dominant stage (measured 5x the rest of the job).
+    // Broadcasting the rings leaves targets completely unshuffled: scan ->
+    // cell-encode -> hash-probe -> project, all inside one codegen stage.
+    // For query sets too large to broadcast, set broadcastQueries=false
+    // (the equi-join then shuffles both sides on cell — still exact).
     val lvlsInUse = assigned.select(col("lvl")).distinct()
     val targetCells = targetsD.crossJoin(broadcast(lvlsInUse))
       .withColumn("cell", cell_encode(col("lon"), col("lat"), col("lvl")))
       .drop("lvl")
-    val ranked = probes.join(targetCells, "cell")
+    val probeSide = if (broadcastQueries) broadcast(probes) else probes
+    val ranked = tt("ranked ckpt")(probeSide.join(targetCells, "cell")
       .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .localCheckpoint() // <= |queries| * k rows; cuts recompute + lineage
+      .localCheckpoint()) // <= |queries| * k rows; cuts recompute + lineage
 
-    // 5. per-level guaranteed radius; proof (cheap aggs over the
-    // checkpointed top-k — recomputed per consumer, no extra job)
+    // 5. per-level guaranteed radius; proof — checkpointed (one row per
+    // query) so the three consumers below and the driver-side branch
+    // pruning all read the same tiny table
     def guaranteed(l: Int): Double =
       (ringK - 1) * math.min(CellIndex.cellLonWidth(l), CellIndex.cellLatHeight(l))
     val radius = levels.foldLeft(lit(0.0)) { (acc, l) =>
       when(col("lvl") === l, guaranteed(l)).otherwise(acc)
     }
-    val proof = ranked.groupBy("qid")
+    val proof = tt("proof ckpt")(ranked.groupBy("qid")
       .agg(count(lit(1)).as("n"), max("dist").as("kth"), first("lvl").as("lvl"))
       .withColumn("complete", col("n") === k && col("kth") < radius)
+      .localCheckpoint())
     val provenQids = proof.filter(col("complete")).select("qid")
     val proven = ranked.join(provenQids.hint("broadcast"), Seq("qid"), "left_semi")
       .select(out.head, out.tail: _*)
+
+    // Driver-side branch pruning (the reference prunes plan branches by
+    // option the same way, src/osm/Osm2ttl.cpp:115-121): in the common
+    // all-proven case the round-2 and brute branches would still each SCAN
+    // the full corpus — empty-broadcast elimination is not guaranteed
+    // pre-AQE — so spend three sub-second aggregates over the per-query
+    // proof table to cut whole corpus passes.
+    val nQueriesTotal = queries.count()
+    val nProven = tt("n proven")(proof.filter(col("complete")).count())
+    val nNeeds = tt("n round2")(proof.filter(!col("complete") && col("n") === k).count())
+    val nRemaining = nQueriesTotal - nProven - nNeeds
+    if (dbg) System.err.println(
+      s"[knn] queries=$nQueriesTotal proven=$nProven round2=$nNeeds brute=$nRemaining")
+    def emptyResult = ranked.filter(lit(false)).select(out.head, out.tail: _*)
 
     // 6. round 2 for unproven queries that DID find k candidates: round 1's
     // kth is an upper bound on the true k-th distance, so the finest level
@@ -204,27 +360,32 @@ object SpatialJoins {
     }
     val needs = proof.filter(!col("complete") && col("n") === k)
       .select(col("qid"), lvl2Expr.as("lvl"))
-    val probes2 = queries.join(needs, "qid")
-      .withColumn("cell", explode(cell_kring(
-        cell_encode(col("qlon"), col("qlat"), col("lvl")), lit(ringK))))
-    val targetCells2 = targetsD.crossJoin(broadcast(needs.select("lvl").distinct()))
-      .withColumn("cell", cell_encode(col("lon"), col("lat"), col("lvl")))
-      .drop("lvl")
-    val round2 = probes2.join(targetCells2, "cell")
-      .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(out.head, out.tail: _*)
+    val round2 = if (nNeeds == 0) emptyResult else {
+      val probes2 = queries.join(needs, "qid")
+        .withColumn("cell", explode(cell_kring(
+          cell_encode(col("qlon"), col("qlat"), col("lvl")), lit(ringK))))
+      val targetCells2 = targetsD.crossJoin(broadcast(needs.select("lvl").distinct()))
+        .withColumn("cell", cell_encode(col("lon"), col("lat"), col("lvl")))
+        .drop("lvl")
+      val probeSide2 = if (broadcastQueries) broadcast(probes2) else probes2
+      probeSide2.join(targetCells2, "cell")
+        .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(out.head, out.tail: _*)
+    }
 
     // 7. brute backstop only for pathological queries (< k candidates found,
     // e.g. k > |targets| in range, or no candidates at any level)
-    val handled = provenQids.unionByName(needs.select("qid"))
-    val remaining = queries.join(handled, Seq("qid"), "left_anti")
-    val brute = broadcast(remaining).crossJoin(targetsD)
-      .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(out.head, out.tail: _*)
+    val brute = if (nRemaining == 0) emptyResult else {
+      val handled = provenQids.unionByName(needs.select("qid"))
+      val remaining = queries.join(handled, Seq("qid"), "left_anti")
+      broadcast(remaining).crossJoin(targetsD)
+        .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(out.head, out.tail: _*)
+    }
     proven.unionByName(round2).unionByName(brute)
   }
 
