@@ -26,6 +26,8 @@ object TrainingQueries {
   private val TopK = 5
   private val QueryMod = 25
   private val NumPlanes = 8
+  private val IvfCentroids = 16
+  private val IvfProbe = 4
 
   // ----------------------------------------------------------------- queries
 
@@ -57,6 +59,13 @@ object TrainingQueries {
     "srp_bucket" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"),
         Similarity.srpBucket(col("embedding"), NumPlanes, EmbDim).as("bucket"))),
+    "ivf_assign" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+        Similarity.ivfCell(col("embedding"), IvfCentroids, EmbDim)
+          .cast("long").as("ivf_cell"))),
+    "ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir).filter(col("vec_id") % QueryMod === 0),
+        emb(s, dir), TopK, IvfCentroids, IvfProbe, EmbDim)),
 
     "media_decode" -> ((s, dir) => Multimodal.decodeMeta(media(s, dir))),
     "media_frames" -> ((s, dir) =>
@@ -145,6 +154,16 @@ object TrainingQueries {
 
   private def pairCos(a: String, b: String): String =
     s"${sqlDotSeq(s"$a.e", s"$b.e", EmbDim)} / ($a.n * $b.n)"
+
+  /** IVF centroid table (c, weight list, norm) as literal VALUES — the
+   * SAME Scala doubles the engine folds over (toString round-trips). */
+  private def centsCte: String = {
+    val rows = (0 until IvfCentroids).map { c =>
+      s"($c, [${Similarity.centroid(c, EmbDim).mkString(", ")}], " +
+        s"${Similarity.centroidNorm(c, EmbDim)})"
+    }.mkString(", ")
+    s"cents AS (SELECT * FROM (VALUES $rows) t(c, w, cn))"
+  }
 
   /** SRP bucket expression over an embedding column e */
   private def bucketExpr(e: String): String =
@@ -286,6 +305,33 @@ object TrainingQueries {
 
     "srp_bucket" -> s"""
       SELECT vec_id, ${bucketExpr("embedding")} AS bucket FROM embeddings""",
+
+    "ivf_assign" -> s"""WITH $centsCte,
+      sc AS (SELECT e.vec_id, c.c, ${sqlDotSeq("c.w", "e.embedding", EmbDim)} / c.cn AS s
+             FROM embeddings e CROSS JOIN cents c),
+      a AS (SELECT vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS r
+            FROM sc)
+      SELECT vec_id, CAST(c AS BIGINT) AS ivf_cell FROM a WHERE r = 1""",
+
+    "ann_ivf_topk" -> s"""WITH $embCte, $centsCte,
+      sc AS (SELECT p.vec_id, p.e, p.n, c.c AS cell,
+                    ${sqlDotSeq("c.w", "p.e", EmbDim)} / c.cn AS s
+             FROM p CROSS JOIN cents c),
+      tc AS (SELECT vec_id, e, n, cell FROM (
+              SELECT vec_id, e, n, cell,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS r
+              FROM sc) x WHERE r = 1),
+      qp AS (SELECT vec_id, e, n, cell FROM (
+              SELECT vec_id, e, n, cell,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS r
+              FROM sc WHERE vec_id % $QueryMod = 0) x WHERE r <= $IvfProbe),
+      s AS (SELECT q.vec_id AS qid, t.vec_id AS vid, ${pairCos("q", "t")} AS cos
+            FROM qp q JOIN tc t ON q.cell = t.cell),
+      r AS (SELECT qid, vid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+            FROM s)
+      SELECT qid, vid, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= $TopK""",
 
     "media_decode" -> s"""${W("doc_spans")}, $mediaCte
       SELECT doc_id, media_ref, n_bytes, width, height, n_frames FROM dm""",

@@ -113,6 +113,88 @@ object Similarity {
       .select(col("qid"), col("vid"), col("rank").cast("long").as("rank"))
   }
 
+  // ------------------------------------------------------------- IVF
+
+  /** Deterministic IVF coarse-quantizer centroid `c`, component `i`
+   * (1-based): the SRP congruence family at plane index `c + 100`, so the
+   * quantizer is independent of the 8 SRP hyperplanes but shares the
+   * integer arithmetic the DuckDB oracle reproduces bit-for-bit. */
+  def centroid(c: Int, dim: Int): Seq[Double] =
+    (1 to dim).map(i => planeWeight(0, c + 100, i))
+
+  /** |centroid(c)| as a Scala-side constant — embedded as the SAME double
+   * literal in engine plan and oracle SQL (toString round-trips exactly). */
+  def centroidNorm(c: Int, dim: Int): Double =
+    math.sqrt(centroid(c, dim).map(x => x * x).sum)
+
+  /** Per-centroid scores `dot(e, w_c)/|w_c|` as ONE array column — each of
+   * the `nCentroids` dot products appears exactly once in the plan. */
+  def ivfScores(emb: Column, nCentroids: Int, dim: Int): Column =
+    array((0 until nCentroids).map { c =>
+      val w = array(centroid(c, dim).map(lit): _*)
+      dotSeq(w, emb) / lit(centroidNorm(c, dim))
+    }: _*)
+
+  /** IVF list id of an embedding: argmax_c cos(e, centroid_c). |e| is
+   * constant across c, so dot(e, w_c)/|w_c| ranks identically to cosine —
+   * one map-side pass of `nCentroids` dot products, no |e| needed. The
+   * argmax is `array_position(scores, array_max(scores))`: first occurrence
+   * wins, so exact ties keep the LOWEST c, matching the oracle's
+   * `ORDER BY s DESC, c` row_number pick. (A nested greatest-struct `when`
+   * fold duplicates both branches per level — O(2^nCentroids) expression
+   * nodes, which stalls Catalyst analysis at 16 centroids; the array
+   * formulation is linear.) Guards dim like [[srpBucket]]. */
+  def ivfCell(emb: Column, nCentroids: Int, dim: Int): Column = {
+    val scores = ivfScores(emb, nCentroids, dim)
+    val cell = (array_position(scores, array_max(scores)) - 1).cast("int")
+    when(size(emb) === dim, cell).otherwise(raise_error(concat(
+      lit(s"ivf_cell: embedding dim != $dim, got "), size(emb).cast("string"))))
+  }
+
+  /**
+   * IVF (inverted-file) approximate top-k: the classic coarse-quantizer ANN
+   * structure as a pure DataFrame plan.
+   *
+   *  - Targets are assigned to their nearest centroid's list by [[ivfCell]]
+   *    — MAP-SIDE ONLY over the corpus (a fold of `nCentroids` codegen'd
+   *    dot products per row; no explode, no shuffle, no state). At
+   *    warehouse scale this column is precomputed and the table
+   *    partitioned/bucketed by it — the scan then prunes to probed lists.
+   *  - Queries explode to `nCentroids` scored rows (query side is bounded
+   *    by contract) and keep their `nProbe` best lists via a per-query
+   *    window.
+   *  - One equi-join on the list id scores only probed lists; per-query
+   *    top-k window ranks survivors (ties by vid).
+   *
+   * Each (query, target) pair meets at most once (a target lives in exactly
+   * one list), so no dedup stage is needed. Precision is exact (true
+   * cosines); recall is bounded by list probing — `nProbe = nCentroids`
+   * degenerates to exact brute-force (SimilaritySpec asserts equality with
+   * [[bruteTopK]] there). Skew note: with few centroids a hot list can
+   * dominate the shuffle; the probe side is queries-sized and broadcast, so
+   * the corpus never shuffles — the hot list costs compute, not a skewed
+   * exchange.
+   */
+  def ivfTopK(queries: DataFrame, targets: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              dim: Int = 64): DataFrame = {
+    val t = normed(spread(targets), "vid", "temb", "tn")
+      .withColumn("cell", ivfCell(col("temb"), nCentroids, dim))
+    val qScored = normed(queries, "qid", "qemb", "qn")
+      .select(col("qid"), col("qemb"), col("qn"),
+        posexplode(ivfScores(col("qemb"), nCentroids, dim)))
+      .withColumnRenamed("pos", "cell").withColumnRenamed("col", "s")
+    val wProbe = Window.partitionBy("qid").orderBy(col("s").desc, col("cell"))
+    val qProbe = qScored.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe).select("qid", "qemb", "qn", "cell")
+    val scored = broadcast(qProbe).join(t, "cell")
+      .withColumn("cos", dotSeq(col("qemb"), col("temb")) / (col("qn") * col("tn")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vid"), col("rank").cast("long").as("rank"))
+  }
+
   /**
    * Embedding-cosine near-dup pairs (cos >= threshold, a < b) — EXACT.
    *

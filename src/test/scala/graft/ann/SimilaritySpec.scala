@@ -77,6 +77,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b(1L) !== b(3L)) // mirrored vector flips every non-zero plane sign
   }
 
+  test("ivfCell: deterministic, equal vectors share a list, dim guarded") {
+    val df = vecs((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f, 3f)), (3L, Seq(9f, -4f, 2f)))
+    val cells = df.select(col("vec_id"),
+        Similarity.ivfCell(col("embedding"), 8, 3).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(cells(1L) === cells(2L))
+    assert(cells.values.forall(c => c >= 0 && c < 8))
+    val ex = intercept[Exception] {
+      df.select(Similarity.ivfCell(col("embedding"), 8, 64)).collect()
+    }
+    assert(ex.getMessage.contains("ivf_cell") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ivf_cell")))
+  }
+
+  test("ivfTopK with nProbe = nCentroids degenerates to exact brute-force") {
+    // 30 vectors, 3 query vectors: probing every list scores every pair,
+    // so results must equal bruteTopK row-for-row
+    val many = vecs((0L until 30L).map(i =>
+      (i, Seq((i % 7).toFloat - 3f, (i % 5).toFloat, (i % 3).toFloat + 1f))): _*)
+    val qs = many.filter($"vec_id" % 10 === 0)
+    val brute = Similarity.bruteTopK(qs, many, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(qs, many, 4, nCentroids = 8, nProbe = 8, dim = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ivf === brute)
+  }
+
+  test("ivfTopK partial probing: self always found, ranks contiguous from 1") {
+    // top-k WITHIN probed lists is not a subset of the global top-k (a poor
+    // probe set can surface globally-distant vectors), so assert the sound
+    // properties: a query's own list is always probed (its centroid is its
+    // best, rank 1 of the probe window), ranks are 1..n per query, n <= k
+    val many = vecs((0L until 30L).map(i =>
+      (i, Seq((i % 7).toFloat - 3f, (i % 5).toFloat, (i % 3).toFloat + 1f))): _*)
+    val qs = many.filter($"vec_id" % 10 === 0)
+    val ivf = Similarity.ivfTopK(qs, many, 4, nCentroids = 8, nProbe = 2, dim = 3)
+      .as[(Long, Long, Long)].collect()
+    val byQ = ivf.groupBy(_._1)
+    assert(byQ.keySet === Set(0L, 10L, 20L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 4)
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+      assert(rows.filter(_._3 == 1L).head._2 === q) // self: cos 1.0, min vid
+    }
+  }
+
   test("lshTopK results are a subset of brute-force candidates per query") {
     val brute = Similarity.bruteTopK(sample.filter($"vec_id" === 1), sample, 4)
       .select("qid", "vid").as[(Long, Long)].collect().toSet
