@@ -27,7 +27,8 @@ object Bench {
   val headline = Seq("pip_join", "knn_join", "tile_assign", "tile_join", "tile_histogram")
   val secondary = Seq("cell_index", "o1_dedup_latest", "j3_dirty_ways", "way_geoms",
     "merge_upsert", "dedup_minhash_lsh", "simhash_sig", "doc_fingerprint",
-    "ann_lsh_topk", "ann_topk", "text_quality", "media_decode", "span_fingerprint")
+    "ann_lsh_topk", "ann_topk", "ann_ivf_topk", "knn_join_indexed",
+    "text_quality", "media_decode", "span_fingerprint")
 
   private def withSession[T](cpus: Int)(f: SparkSession => T): T = {
     val spark = SparkSession.builder()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
 import graft.gen.DerivedTables
-import graft.ops.{ChangeBatch, DeltaApply, GeometryBuild, SpatialJoins}
+import graft.ops.{ChangeBatch, DeltaApply, GeometryBuild, KnnIndex, SpatialJoins}
 
 /**
  * Driver contract: one `queries` entry per implemented operator from
@@ -55,6 +55,17 @@ object SparkEntry {
     "knn_join" -> ((s, dir) => {
       prep(s, dir)
       SpatialJoins.knnJoin(s.table("query_points"), s.table("points"), k = 5)
+        .select(col("qid").cast("long"), col("pid").cast("long"), col("rank").cast("long"))
+    }),
+    "knn_join_indexed" -> ((s, dir) => {
+      // the warehouse-scale kNN shape: corpus-side prep persisted once as a
+      // cell-clustered parquet index, the query batch reopens + probes it —
+      // same oracle as knn_join (results are identical by construction)
+      prep(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_knn_index_" +
+        Integer.toHexString(dir.hashCode)
+      KnnIndex.save(KnnIndex.build(s.table("points"), kMax = 8), path)
+      SpatialJoins.knnJoinIndexed(s.table("query_points"), KnnIndex.load(s, path), k = 5)
         .select(col("qid").cast("long"), col("pid").cast("long"), col("rank").cast("long"))
     }),
     "tile_assign" -> ((s, dir) => {
@@ -222,6 +233,17 @@ object SparkEntry {
        AND p.lat >= r.y0 AND p.lat <= r.y1""",
 
     "knn_join" -> s"""${W("query_points", "points")}
+      SELECT CAST(qid AS BIGINT) AS qid, CAST(pid AS BIGINT) AS pid,
+             CAST(rank AS BIGINT) AS rank
+      FROM (
+        SELECT q.qid, p.pid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY sqrt((p.lon - q.qlon) * (p.lon - q.qlon)
+                             + (p.lat - q.qlat) * (p.lat - q.qlat)), p.pid) AS rank
+        FROM query_points q CROSS JOIN points p) t
+      WHERE rank <= 5""",
+
+    "knn_join_indexed" -> s"""${W("query_points", "points")}
       SELECT CAST(qid AS BIGINT) AS qid, CAST(pid AS BIGINT) AS pid,
              CAST(rank AS BIGINT) AS rank
       FROM (

@@ -118,17 +118,53 @@ object SpatialJoins {
               broadcastQueries: Boolean = true): DataFrame = {
     require(ringK >= 1 && levels.nonEmpty && levels == levels.sorted.reverse,
       "levels must be distinct, finest (largest) first")
-    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("pid"))
-    val out = Seq("qid", "pid", "dist", "rank")
-    val res = shiftrightunsigned(col("cell"), 56).cast("int")
-    // dev-only phase timing (GRAFT_KNN_DEBUG=1): prints at each eager step
-    val dbg = sys.env.get("GRAFT_KNN_DEBUG").contains("1")
-    def tt[T](name: String)(f: => T): T =
-      if (!dbg) f else {
-        val t0 = System.nanoTime(); val r = f
-        System.err.println(f"[knn] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
-      }
+    val (targetsD, levelCounts, _) =
+      prepareKnnTargets(targets, k, levels, ringK, proofFactor)
+    knnCore(queries, targetsD, levelCounts, k, levels, ringK, proofFactor,
+      broadcastQueries)
+  }
 
+  /**
+   * kNN over a prebuilt [[KnnIndex]] — identical results to [[knnJoin]]
+   * (KnnIndexSpec asserts row-for-row equality), but the corpus-sized
+   * stages (count, coarse histogram, hot/cold split, stack dedup) were paid
+   * ONCE at [[KnnIndex.build]] time; each query batch runs only the
+   * queries-sized assignment + one candidate equi-join. This is the
+   * warehouse-scale shape: the index is a maintained, cell-clustered table,
+   * not a per-job localCheckpoint.
+   *
+   * Requires `k <= index.kMax`: the index's co-located-stack dedup kept only
+   * the `kMax` smallest pids per coordinate stack, which is lossless for any
+   * top-k with `k <= kMax` (ties break by pid).
+   */
+  def knnJoinIndexed(queries: DataFrame, index: KnnIndex, k: Int,
+                     proofFactor: Int = 32,
+                     broadcastQueries: Boolean = true): DataFrame = {
+    require(k <= index.kMax,
+      s"knnJoinIndexed: k=$k exceeds the index's kMax=${index.kMax}; " +
+        "rebuild the index with a larger kMax")
+    knnCore(queries, index.targetsD, index.levelCounts, k, index.levels,
+      index.ringK, proofFactor, broadcastQueries)
+  }
+
+  // dev-only phase timing (GRAFT_KNN_DEBUG=1): prints at each eager step
+  private def dbg = sys.env.get("GRAFT_KNN_DEBUG").contains("1")
+  private def tt[T](name: String)(f: => T): T =
+    if (!dbg) f else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[knn] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+
+  /**
+   * Target-side preparation for kNN (steps 0+1 of [[knnJoin]]'s plan):
+   * stack-dedup the corpus and build the multi-level cell histogram.
+   * Returns (targetsD, levelCounts, lc) where lc is the coarse collapse
+   * level (the natural clustering key when the result is persisted —
+   * [[KnnIndex]]).
+   */
+  private[ops] def prepareKnnTargets(targets: DataFrame, k: Int,
+      levels: Seq[Int], ringK: Int,
+      proofFactor: Int): (DataFrame, DataFrame, Int) = {
     // 0+1. density-guided selective refinement (histogram + stack dedup).
     //
     // The r01 plan aggregated every target at the FINEST ladder level and
@@ -281,6 +317,20 @@ object SpatialJoins {
         .groupBy("cell").agg(count(lit(1)).as("cnt"))
       (hotD.unionByName(cold), rollup.unionByName(fineAgg))
     }
+    (targetsD, levelCounts, lc)
+  }
+
+  /**
+   * Steps 2-7 of the kNN plan (assignment, candidate join, proof, rescue
+   * passes) over a prepared target side — shared by [[knnJoin]] (per-call
+   * preparation) and [[knnJoinIndexed]] (prebuilt [[KnnIndex]]).
+   */
+  private def knnCore(queries: DataFrame, targetsD: DataFrame,
+      levelCounts: DataFrame, k: Int, levels: Seq[Int], ringK: Int,
+      proofFactor: Int, broadcastQueries: Boolean): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("pid"))
+    val out = Seq("qid", "pid", "dist", "rank")
+    val res = shiftrightunsigned(col("cell"), 56).cast("int")
 
     // 2. ring population per (query, level): the ring side is queries-sized
     // — broadcast it so the (corpus-sized) histogram never shuffles
