@@ -180,6 +180,32 @@ object SparkEntry {
         .select(col("seq"), col("ts")).limit(1)
     }),
 
+    // --- streaming surface (§2.7): event-time windowed tile counts driven
+    // through a REAL file stream (readStream -> watermark -> windowed agg ->
+    // memory sink, Trigger.AvailableNow) — the oracle is the batch-SQL
+    // equivalent (tumbling 1h window == date_trunc hour), so the streaming
+    // path itself is under the DuckDB gate, not just a spec ---
+    "s27_stream_tile_counts" -> ((s, dir) => {
+      prep(s, dir)
+      val tag = Integer.toHexString(dir.hashCode)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_$tag"
+      // watermarks require TIMESTAMP (ltz); the parquet round-trip yields
+      // TIMESTAMP_NTZ — cast under the session's UTC zone (lossless)
+      val src = s.table("changes").filter(col("obj_type") === "node")
+        .select(col("ts").cast("timestamp").as("ts"), col("lon"), col("lat"))
+      src.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(src.schema).parquet(tmp)
+      val qn = s"s27_mem_$tag"
+      val q = graft.streaming.ChangeStream.tileCounts(stream, z = 6)
+        .writeStream.outputMode("complete").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(
+        col("window.start").as("window_start"),
+        col("tile_id"),
+        col("cnt").cast("long").as("cnt"))
+    }),
+
     // --- span invariant over the interleaved docs table (input_hint) ---
     "span_fingerprint" -> ((s, dir) => {
       prep(s, dir)
@@ -371,6 +397,13 @@ object SparkEntry {
 
     "a5_latest_state" -> s"""${W("changes")}
       SELECT seq, ts FROM changes ORDER BY ts DESC, seq DESC LIMIT 1""",
+
+    "s27_stream_tile_counts" -> s"""${W("changes")}
+      SELECT date_trunc('hour', ts) AS window_start, tile_id,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT ts, $tileXySql AS tile_id
+            FROM changes WHERE obj_type = 'node') t
+      GROUP BY 1, 2""",
 
     "span_fingerprint" -> s"""${W("doc_spans")}
       SELECT doc_id,
