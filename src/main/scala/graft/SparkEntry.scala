@@ -180,6 +180,35 @@ object SparkEntry {
         .select(col("seq"), col("ts")).limit(1)
     }),
 
+    // --- S8/A6: the resumable UpdateJob end-to-end, oracled through its
+    // LINEAGE table — per-(seq, stage) row counts and global cell bounds of
+    // each committed snapshot are recomputed independently in DuckDB by
+    // replaying the same last-writer-wins + dirty-closure semantics in SQL.
+    // This puts the checkpoint/lineage surface (watermark, per-partition
+    // lineage rows, A6 counters' row-count cross-check inputs) under the
+    // oracle gate, not just CheckpointSpec ---
+    "s8_lineage" -> ((s, dir) => {
+      prep(s, dir)
+      val tag = Integer.toHexString(dir.hashCode)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_s8_store_$tag"
+      // fresh store every run: resume-from-watermark is CheckpointSpec's
+      // job; this query oracles WHAT the committed lineage describes
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rm)
+        p.delete(); ()
+      }
+      rm(new java.io.File(root))
+      val store = new graft.lineage.SnapshotStore(root)
+      graft.lineage.UpdateJob.run(s, store, s.table("changes"),
+        s.table("node_geoms").select("id", "lon", "lat"),
+        s.table("way_members"), fromSeq = 0L, toSeq = 2L,
+        cellRes = 12, partitions = 8)
+      (0L to 2L).map(store.readLineage(s, _)).reduce(_ unionByName _)
+        .groupBy(col("applied_seq"), col("stage"))
+        .agg(sum("row_count").as("row_count"),
+          min("cell_lo").as("cell_min"), max("cell_hi").as("cell_max"))
+    }),
+
     // --- streaming surface (§2.7): event-time windowed tile counts driven
     // through a REAL file stream (readStream -> watermark -> windowed agg ->
     // memory sink, Trigger.AvailableNow) — the oracle is the batch-SQL
@@ -397,6 +426,70 @@ object SparkEntry {
 
     "a5_latest_state" -> s"""${W("changes")}
       SELECT seq, ts FROM changes ORDER BY ts DESC, seq DESC LIMIT 1""",
+
+    // Independent SQL replay of UpdateJob seqs 0..2: cumulative last-writer-
+    // wins node snapshot per seq (cross-batch: later seq wins; within batch:
+    // the dedup comparator), pre-merge moved/deleted closure for dirty ways,
+    // first-point cells of rebuilt way linestrings.
+    "s8_lineage" -> s"""${W("changes", "node_geoms", "way_members")},
+      seqs AS (SELECT CAST(0 AS BIGINT) AS n UNION ALL SELECT 1 UNION ALL SELECT 2),
+      node_winners AS (
+        SELECT s.n, c.*, ROW_NUMBER() OVER (
+          PARTITION BY s.n, c.id
+          ORDER BY c.seq DESC, c.version DESC, c.deleted DESC, c.ts DESC, c.eid DESC) AS rn
+        FROM seqs s JOIN changes c ON c.obj_type = 'node' AND c.seq <= s.n),
+      snap AS (
+        SELECT s.n, g.id, g.lon, g.lat
+        FROM seqs s CROSS JOIN node_geoms g
+        LEFT JOIN (SELECT n, id FROM node_winners WHERE rn = 1) w
+          ON w.n = s.n AND w.id = g.id
+        WHERE w.id IS NULL
+        UNION ALL
+        SELECT n, id, lon, lat FROM node_winners WHERE rn = 1 AND action <> 'delete'),
+      node_rows AS (
+        SELECT n AS applied_seq, 'node_geoms' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS row_count,
+               MIN(${mortonOracle(12, "lon", "lat")}) AS cell_min,
+               MAX(${mortonOracle(12, "lon", "lat")}) AS cell_max
+        FROM snap GROUP BY n),
+      batch AS (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY seq, obj_type, id
+          ORDER BY version DESC, deleted DESC, ts DESC, eid DESC) AS brn
+        FROM changes WHERE seq <= 2),
+      pre_snap AS (
+        SELECT s.n, p.id, p.lon, p.lat FROM seqs s JOIN snap p ON p.n = s.n - 1
+        UNION ALL
+        SELECT CAST(0 AS BIGINT), id, lon, lat FROM node_geoms),
+      dirty_nodes AS (
+        SELECT DISTINCT n, id FROM (
+          SELECT b.seq AS n, b.id
+          FROM batch b JOIN pre_snap p ON p.n = b.seq AND p.id = b.id
+          WHERE b.brn = 1 AND b.obj_type = 'node' AND b.action = 'modify'
+            AND (b.lon <> p.lon OR b.lat <> p.lat)
+          UNION ALL
+          SELECT seq AS n, id FROM batch
+          WHERE brn = 1 AND obj_type = 'node' AND action = 'delete') d),
+      change_ways AS (
+        SELECT DISTINCT seq AS n, id AS way_id FROM batch WHERE obj_type = 'way'),
+      dirty_ways AS (
+        SELECT DISTINCT d.n, m.way_id
+        FROM way_members m JOIN dirty_nodes d ON m.node_id = d.id
+        WHERE NOT EXISTS (SELECT 1 FROM change_ways cw
+                          WHERE cw.n = d.n AND cw.way_id = m.way_id)),
+      way_pts AS (
+        SELECT dw.n, dw.way_id, g.lon, g.lat, ROW_NUMBER() OVER (
+          PARTITION BY dw.n, dw.way_id ORDER BY m.pos, m.node_id) AS prn
+        FROM dirty_ways dw
+        JOIN way_members m ON m.way_id = dw.way_id
+        JOIN snap g ON g.n = dw.n AND g.id = m.node_id),
+      way_rows AS (
+        SELECT n AS applied_seq, 'dirty_way_geoms' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS row_count,
+               MIN(${mortonOracle(12, "lon", "lat")}) AS cell_min,
+               MAX(${mortonOracle(12, "lon", "lat")}) AS cell_max
+        FROM way_pts WHERE prn = 1 GROUP BY n)
+      SELECT * FROM node_rows UNION ALL SELECT * FROM way_rows""",
 
     "s27_stream_tile_counts" -> s"""${W("changes")}
       SELECT date_trunc('hour', ts) AS window_start, tile_id,

@@ -148,6 +148,15 @@ object UpdateJob {
         val nodeBatch = compacted.filter(col("obj_type") === "node")
           .select(col("id"), col("action"), col("lon"), col("lat"))
 
+        // dependency closure against the PRE-merge snapshot: locationDiff
+        // must compare incoming coords to the STORED ones — post-merge the
+        // just-upserted nodes are self-equal, `moved` is always empty, and
+        // ways of moved nodes would never be rebuilt (the reference fetches
+        // referencing ways before applying the batch,
+        // src/osm/OsmChangeHandler.cpp:96-117)
+        val (dirtyWays, _) = stats.time("closure")(ChangeBatch.dependencyClosure(
+          compacted, snapshot, wayMembers, emptyRelMembers(spark)))
+
         // expected MERGE effect — the reference's QLever-reported
         // insert/delete counts, computed store-side here
         val (expDeleted, expUpserted) =
@@ -174,9 +183,8 @@ object UpdateJob {
         stats.crossCheckMerge(seq, beforeRows, afterRows, expDeleted, expUpserted)
         beforeRows = afterRows
 
-        // dirty-geometry recompute, scoped to affected ways only
-        val (dirtyWays, _) = ChangeBatch.dependencyClosure(
-          compacted, snapshot, wayMembers, emptyRelMembers(spark))
+        // dirty-geometry recompute, scoped to affected ways only; member
+        // coords come from the POST-merge snapshot (new locations)
         val dirtyMembers = wayMembers.join(dirtyWays.hint("broadcast"), Seq("way_id"), "left_semi")
         val rebuiltGeoms = GeometryBuild.buildWayGeoms(dirtyMembers, snapshot, withDerived = false)
           .withColumn("cell", cell_encode(st_x(col("wkt")), st_y(col("wkt")), lit(cellRes)))

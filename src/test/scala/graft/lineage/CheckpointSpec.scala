@@ -56,6 +56,17 @@ class CheckpointSpec extends AnyFunSuite {
     // deletes applied: nodes 10..13 gone; moved nodes present at new locations
     assert(!resumed.exists(_._1 == 10L))
     assert(resumed.contains((1L, 0.5, 0.5)))
+
+    // the MOVED node dirties its referencing way: seq 0 moved node 1, way 100
+    // references it, so dirty_way_geoms(0) must rebuild way 100 with the NEW
+    // coordinate. (Regression guard: the closure must run against the
+    // PRE-merge snapshot — post-merge, locationDiff is self-comparison,
+    // `moved` is always empty, and this rebuild never happens.)
+    val dirty0 = scratch.readTable(spark, 0, "dirty_way_geoms")
+      .select("way_id", "wkt").as[(Long, String)].collect().toMap
+    assert(dirty0.contains(100L), s"way 100 not rebuilt at seq 0: $dirty0")
+    assert(dirty0(100L).contains("0.5000000 0.5000000"),
+      s"way 100 rebuilt with stale coords: ${dirty0(100L)}")
   }
 
   test("lineage records contiguous cell ranges and true row counts") {
