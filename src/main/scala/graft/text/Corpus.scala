@@ -1,0 +1,202 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+import TextParams._
+
+/**
+ * Corpus-level training-data operators that sit ON TOP of the per-pair /
+ * per-document stages in [[Dedup]] and [[TextAnalysis]]: the stages a real
+ * 100 TB pipeline runs after near-dup pair mining and before sampling a
+ * training mix.
+ *
+ *  - [[connectedComponents]] / [[dedupClusters]] — duplicate-PAIR output is
+ *    not actionable until pairs are closed into CLUSTERS with one canonical
+ *    keeper (a
+ *    near-dup relation is not transitive, but dedup policy treats it as if
+ *    it were — the standard practice in published corpus-dedup pipelines).
+ *  - [[contamination]] — train/eval n-gram overlap: for each held-out
+ *    document, the fraction of its shingles that appear anywhere in the
+ *    training split (benchmark-contamination screening).
+ *  - [[sampleStratified]] — deterministic per-stratum hash sampling: the
+ *    reproducible "data mix" step (no RNG state, no sampleBy approximation —
+ *    the same doc set comes back on every run and on every engine).
+ *  - [[vocabTopK]] — global token frequency ranking (tokenizer/vocab
+ *    construction input).
+ *
+ * Scale notes are on each operator; none materializes to the driver beyond
+ * per-iteration convergence counts (CC) and the top-k result itself.
+ */
+object Corpus {
+
+  private def spread(df: DataFrame): DataFrame = graft.util.Spread.spread(df)
+
+  /**
+   * Connected components over an undirected pair list `(doc_a, doc_b)` —
+   * the closure stage of every dedup pipeline. Returns `(id, comp)` for
+   * every node APPEARING IN SOME EDGE, with `comp` = the component's
+   * minimum node id (so downstream "keeper" policy is deterministic).
+   *
+   * Algorithm: iterated neighbor-min + pointer jumping.
+   * Each round does
+   *   c'(u)  = min(c(u), min over neighbors v of c(v))      (one equi-join)
+   *   c''(u) = c'(c'(u))                                    (path doubling)
+   * Label values only decrease and path doubling halves the distance to the
+   * component minimum each round, so rounds = O(log diameter) — a chain of
+   * a million near-identical crawl snapshots closes in ~20 rounds, not 10^6
+   * (plain label propagation is O(diameter) and melts down exactly there).
+   * Every round is two shuffles on uniformly-hashed ids; per-round state is
+   * one (id, comp) row per edge-touched node — duplicate-graph-sized, not
+   * corpus-sized. `localCheckpoint` per round cuts the growing lineage (at
+   * warehouse scale: a checkpoint table per round, same shape).
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
+        .groupBy(col("src").as("id")).agg(min("dcomp").as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("c1"))
+      // pointer jump: comp values are themselves node ids present in
+      // `stepped`, so c1(c1(u)) is one self-join (left_outer is belt and
+      // braces — a match always exists)
+      val jumped = stepped
+        .join(stepped.select(col("id").as("jid"), col("c1").as("jc")),
+          col("c1") === col("jid"), "left_outer")
+        .select(col("id"), col("prev"), coalesce(col("jc"), col("c1")).as("comp"))
+        .localCheckpoint()
+      changed = jumped.filter(col("comp") =!= col("prev")).count()
+      labels = jumped.select("id", "comp")
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /**
+   * Near-dup clusters with a canonical keeper: every document gets a
+   * `cluster_id` (= min doc_id of its duplicate component; itself when it
+   * has no duplicate), the cluster size, and `keep` = "is the canonical
+   * representative". CC state is sized by the DUPLICATE graph — the corpus
+   * only flows through one left join at the end.
+   *
+   * @param docs  full corpus (doc_id, ...)
+   * @param pairs duplicate pairs (doc_a, doc_b) from any [[Dedup]] strategy
+   */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp").as("cid"))
+    val labeled = docs.select(col("doc_id"))
+      .join(comp.hint("broadcast"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+  }
+
+  /**
+   * Train/eval n-gram contamination: for each document in the eval split,
+   * how many of its distinct token-trigram shingles appear in ANY training
+   * document. The scale shape: the training side collapses to a DISTINCT
+   * shingle-hash set (one aggregation, uniform 8-byte keys), the eval side
+   * is a left-semi equi-join against it — never doc x doc, never
+   * corpus-squared. Shingles travel as their charHash LONGS via the native
+   * `trigram_hashes` expression — one codegen'd pass per row (the
+   * interpreted string-shingle path costs ~3x more and, worse, gets inlined
+   * into join-inferred isnotnull filters and re-evaluated per consumer —
+   * the Dedup.verifiedJaccardPairs pathology), and the dedup/join shuffles
+   * move fixed-width longs instead of shingle strings.
+   *
+   * @param evalPred predicate over `docs` columns choosing the eval split
+   * @return (doc_id, n_shingles, n_contaminated, contamination) per eval doc
+   */
+  def contamination(docs: DataFrame, evalPred: Column): DataFrame = {
+    // the split flag is evaluated BEFORE the shingle projection so each
+    // branch's filter pushes below the (expensive) tokenization — the two
+    // branches partition the corpus, so it is tokenized exactly once total
+    val sh = spread(docs)
+      .select(col("doc_id"), evalPred.as("__eval"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("__eval"), array_distinct(
+        graft.functions.GraftFunctions.trigram_hashes(
+          col("toks"), lit(M1), lit(P1))).as("sh"))
+    val evalIdx = sh.filter(col("__eval"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val trainSh = sh.filter(!col("__eval"))
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val totals = evalIdx.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = evalIdx.join(trainSh, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      // shingles() never returns an empty array (whole-text fallback), so
+      // the denominator is >= 1 by construction
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+  }
+
+  /** Sampling hash: uniform bucket in [0, buckets) from doc_id alone — the
+   * char-polynomial fold both engines compute identically (TextParams). */
+  def sampleBucket(docId: Column, buckets: Int): Column =
+    charHash(docId.cast("string"), M1, P1) % buckets
+
+  /**
+   * Deterministic stratified sampling: keep a document iff its hash bucket
+   * falls under its stratum's rate. Pure map-side (no shuffle, no RNG, no
+   * driver state); the SAME rows survive on every run, engine, and
+   * partitioning — which is what makes a training mix reproducible and
+   * resumable. `sampleBy` would give approximate Bernoulli draws instead.
+   *
+   * @param rates   per-stratum keep rates in [0,1], applied to `stratum`
+   * @param default rate for strata not listed
+   */
+  def sampleStratified(docs: DataFrame, stratum: Column,
+                       rates: Seq[(String, Double)], default: Double,
+                       buckets: Int = 10000): DataFrame = {
+    // rates become INTEGER bucket thresholds on the driver: the per-row
+    // comparison is then pure integer arithmetic — no float product whose
+    // last bit could differ between engines at a bucket boundary
+    val threshold = rates.foldLeft(lit(math.round(default * buckets))) {
+      case (acc, (s, r)) => when(stratum === s, lit(math.round(r * buckets))).otherwise(acc)
+    }
+    spread(docs)
+      .withColumn("bucket", sampleBucket(col("doc_id"), buckets))
+      .filter(col("bucket") < threshold)
+  }
+
+  /**
+   * Global token frequency top-k (vocabulary construction input).
+   * One aggregation + TakeOrdered: hot tokens (stopwords) are exactly the
+   * skewed keys, but hash-aggregate's map-side partial combine already
+   * bounds what any reducer receives to one partial per map task — explicit
+   * salting would ADD a shuffle here, not remove one (contrast
+   * SpatialJoins.tileHistogram, where the salt defends the reduce side of a
+   * single mega-hot key at far higher per-key volumes). `orderBy.limit`
+   * plans as TakeOrderedAndProject: per-partition top-k, then a k-sized
+   * merge on the driver — no global sort.
+   */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame = {
+    val counts = spread(docs)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    counts.orderBy(col("cnt").desc, col("token")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+  }
+}
