@@ -28,7 +28,7 @@ object Bench {
   val secondary = Seq("cell_index", "o1_dedup_latest", "j3_dirty_ways", "way_geoms",
     "merge_upsert", "dedup_minhash_lsh", "dedup_clusters", "simhash_sig",
     "doc_fingerprint", "ann_lsh_topk", "ann_topk", "ann_ivf_topk",
-    "knn_join_indexed", "contamination", "vocab_topk",
+    "knn_join_indexed", "contamination", "vocab_topk", "curate_corpus",
     "text_quality", "media_decode", "span_fingerprint")
 
   private def withSession[T](cpus: Int)(f: SparkSession => T): T = {

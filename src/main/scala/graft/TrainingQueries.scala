@@ -36,6 +36,8 @@ object TrainingQueries {
   private val SampleDefault = 1.0
   private val SampleBuckets = 10000
   private val VocabK = 100
+  /** curation quality gate (synthetic-corpus scores span ~0.58-0.93) */
+  private val CurateQualityMin = 0.63
 
   // ----------------------------------------------------------------- queries
 
@@ -67,6 +69,22 @@ object TrainingQueries {
           SampleBuckets)
         .select(col("doc_id"), col("lang"), col("bucket"))),
     "vocab_topk" -> ((s, dir) => Corpus.vocabTopK(docs(s, dir), VocabK)),
+    // end-to-end curation: quality gate ∧ confident lang-id ∧ near-dup
+    // cluster keeper ∧ stratified sample, composed as one declarative plan
+    "curate_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = TextAnalysis.quality(d)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      val l = TextAnalysis.langId(d).select(col("doc_id"), col("lang_pred"))
+      val keepers = Corpus.dedupClusters(d, Dedup.minhashLshPairs(d))
+        .filter(col("keep")).select("doc_id")
+      q.join(l, "doc_id").join(keepers, "doc_id")
+        .filter(col("quality_score") >= CurateQualityMin && col("lang_pred") =!= "und")
+        .withColumn("bucket", Corpus.sampleBucket(col("doc_id"), SampleBuckets))
+        .filter(col("bucket") < Corpus.stratumThreshold(
+          col("lang_pred"), SampleRates, SampleDefault, SampleBuckets))
+        .select("doc_id", "lang_pred", "n_tokens", "quality_score", "bucket")
+    }),
 
     "embed_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), CosineThreshold)),
@@ -169,6 +187,54 @@ object TrainingQueries {
       JOIN ssizes sb ON sb.doc_id = c.doc_b
       WHERE i.i / (sa.n + sb.n - i.i) >= $JaccardThreshold)"""
 
+  /** per-doc quality metrics CTE block ending in `qual` */
+  private val qualityCtes = s"""
+    q AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS ttr,
+        CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks) END AS mean_token_len,
+        CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
+        CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains(${stopwords.mkString("['", "', '", "']")}, t))) AS DOUBLE) / len(toks) END AS stopword_ratio
+      FROM tdocs),
+    qual AS (
+      SELECT doc_id, n_tokens, ttr, mean_token_len, alpha_ratio, stopword_ratio,
+             ttr * 0.4 + alpha_ratio * 0.4 + (1.0 - stopword_ratio) * 0.2 AS quality_score
+      FROM q)"""
+
+  /** language-prediction CTE block ending in `lpred` */
+  private val langPredCtes: String = {
+    val scores = TextAnalysis.langMarkers
+      .map { case (l, m) => s"${langScore(m)} AS score_$l" }.mkString(",\n          ")
+    val names = TextAnalysis.langMarkers.map(_._1)
+    val m = names.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val argmax = names.map(l => s"WHEN score_$l = $m THEN '$l'").mkString(" ")
+    s"""
+    sc AS (
+      SELECT doc_id,
+        $scores
+      FROM tdocs),
+    lpred AS (
+      SELECT doc_id, ${names.map(l => s"score_$l").mkString(", ")},
+             CASE WHEN $m = 0 THEN 'und' $argmax END AS lang_pred
+      FROM sc)"""
+  }
+
+  /** duplicate-cluster labels via recursive transitive closure, ending in
+   * `lab(doc_id, cluster_id)` over ALL documents (requires WITH RECURSIVE
+   * and $lshPairCtes before it). */
+  private val clusterCtes = s"""
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM lshpairs
+            UNION SELECT doc_b, doc_a FROM lshpairs),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a),
+    lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c USING (doc_id))"""
+
   private val simhashCtes = s"""
     stok AS (SELECT doc_id, unnest(toks) AS tk FROM tdocs),
     sth AS (SELECT doc_id, ${sqlHash60("tk")} AS h FROM stok),
@@ -234,33 +300,16 @@ object TrainingQueries {
              CAST(len(toks) AS BIGINT) AS n_tokens
       FROM tdocs""",
 
-    "text_quality" -> s"""WITH $tdocs,
-      q AS (
-        SELECT doc_id,
-          CAST(len(toks) AS BIGINT) AS n_tokens,
-          CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS ttr,
-          CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks) END AS mean_token_len,
-          CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
-          CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains(${stopwords.mkString("['", "', '", "']")}, t))) AS DOUBLE) / len(toks) END AS stopword_ratio
-        FROM tdocs)
+    "text_quality" -> s"""WITH $tdocs, $qualityCtes
       SELECT doc_id, n_tokens, ttr, mean_token_len, alpha_ratio, stopword_ratio,
-             ttr * 0.4 + alpha_ratio * 0.4 + (1.0 - stopword_ratio) * 0.2 AS quality_score
-      FROM q""",
+             quality_score
+      FROM qual""",
 
     "lang_id" -> {
-      val scores = TextAnalysis.langMarkers
-        .map { case (l, m) => s"${langScore(m)} AS score_$l" }.mkString(",\n          ")
       val names = TextAnalysis.langMarkers.map(_._1)
-      val m = names.map(l => s"score_$l").mkString("greatest(", ", ", ")")
-      val argmax = names.map(l => s"WHEN score_$l = $m THEN '$l'").mkString(" ")
-      s"""WITH $tdocs,
-      sc AS (
-        SELECT doc_id,
-          $scores
-        FROM tdocs)
-      SELECT doc_id, ${names.map(l => s"score_$l").mkString(", ")},
-             CASE WHEN $m = 0 THEN 'und' $argmax END AS lang_pred
-      FROM sc"""
+      s"""WITH $tdocs, $langPredCtes
+      SELECT doc_id, ${names.map(l => s"score_$l").mkString(", ")}, lang_pred
+      FROM lpred"""
     },
 
     "doc_fingerprint" -> s"""WITH $tdocs
@@ -287,22 +336,35 @@ object TrainingQueries {
 
     // duplicate-pair -> cluster closure: transitive closure via recursive
     // CTE (the oracle analogue of the engine's pointer-jumping CC)
-    "dedup_clusters" -> s"""WITH RECURSIVE $tdocs, $lshPairCtes,
-      sym AS (SELECT doc_a AS a, doc_b AS b FROM lshpairs
-              UNION SELECT doc_b, doc_a FROM lshpairs),
-      reach AS (
-        SELECT a, b FROM sym
-        UNION
-        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-      comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-               FROM reach GROUP BY a),
-      lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-              FROM documents d LEFT JOIN comp c USING (doc_id)),
+    "dedup_clusters" -> s"""WITH RECURSIVE $tdocs, $lshPairCtes, $clusterCtes,
       sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
              FROM lab GROUP BY cluster_id)
       SELECT l.doc_id, l.cluster_id, s.cluster_size,
              l.doc_id = l.cluster_id AS keep
       FROM lab l JOIN sz s USING (cluster_id)""",
+
+    // end-to-end curation: quality gate ∧ confident language-id ∧ near-dup
+    // cluster keeper ∧ deterministic stratified sample — the whole
+    // training-data pipeline as ONE declarative plan (each stage is its own
+    // green oracle above; this row proves they compose)
+    "curate_corpus" -> {
+      val rateCase = SampleRates
+        .map { case (l, r) => s"WHEN '$l' THEN ${math.round(r * SampleBuckets)}" }
+        .mkString("CASE lang_pred ", " ",
+          s" ELSE ${math.round(SampleDefault * SampleBuckets)} END")
+      s"""WITH RECURSIVE $tdocs, $lshPairCtes, $clusterCtes, $qualityCtes, $langPredCtes,
+      sampled AS (
+        SELECT q.doc_id, l.lang_pred, q.n_tokens, q.quality_score,
+               ${sqlCharHash("CAST(q.doc_id AS VARCHAR)", M1, P1)} % $SampleBuckets AS bucket
+        FROM qual q
+        JOIN lpred l USING (doc_id)
+        JOIN lab USING (doc_id)
+        WHERE lab.doc_id = lab.cluster_id
+          AND q.quality_score >= $CurateQualityMin
+          AND l.lang_pred <> 'und')
+      SELECT doc_id, lang_pred, n_tokens, quality_score, bucket
+      FROM sampled WHERE bucket < ($rateCase)"""
+    },
 
     "contamination" -> s"""WITH $tdocs,
       sh AS (SELECT doc_id, (doc_id % $EvalMod = 0) AS is_eval,

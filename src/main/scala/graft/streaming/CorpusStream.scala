@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming corpus operators: the training-data stages that must run as
+ * documents ARRIVE (a crawl feed) rather than over a finished table. Mirrors
+ * the batch operators in [[graft.text.Dedup]] so semantics cannot drift:
+ * the keeper policy (min doc_id per content hash) is identical.
+ */
+object CorpusStream {
+
+  /** One document on the stream. */
+  case class StreamDoc(doc_id: Long, text: String)
+
+  /** First-seen keeper for one content hash. */
+  case class Kept(content_hash: String, doc_id: Long)
+
+  /**
+   * Cross-micro-batch EXACT dedup: emit a document iff its content hash has
+   * never been seen on the stream; state = one keeper per distinct hash.
+   * Within a micro-batch the keeper is the min doc_id — the same policy as
+   * the batch [[graft.text.Dedup.exact]], so replaying a drained stream
+   * through the batch operator selects the same keepers (asserted by
+   * CorpusStreamSpec).
+   *
+   * Scale notes: the shuffle keys on the content hash (uniform by
+   * construction — md5), so hot identical documents all land on ONE state
+   * key but arrive pre-reduced by the within-batch `reduceGroups`-style
+   * iterator fold below. State size is one (hash, id) pair per DISTINCT
+   * document — the streaming analogue of the batch keeper table; at
+   * warehouse scale it lives in the state store (RocksDB), checkpointed per
+   * micro-batch, and an event-time timeout policy can bound it when the
+   * dedup horizon is finite.
+   */
+  def streamingExactDedup(docs: Dataset[StreamDoc]): Dataset[Kept] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (hash: String, rows: Iterator[(Long, String, String)],
+         state: GroupState[Long]) =>
+          // one pass, no buffering: only the min doc_id of the batch matters
+          val minId = rows.map(_._1).min
+          if (state.exists) Iterator.empty // hash already kept on the stream
+          else { state.update(minId); Iterator(Kept(hash, minId)) }
+      }
+  }
+}

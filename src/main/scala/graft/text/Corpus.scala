@@ -166,19 +166,21 @@ object Corpus {
    * @param rates   per-stratum keep rates in [0,1], applied to `stratum`
    * @param default rate for strata not listed
    */
-  def sampleStratified(docs: DataFrame, stratum: Column,
-                       rates: Seq[(String, Double)], default: Double,
-                       buckets: Int = 10000): DataFrame = {
-    // rates become INTEGER bucket thresholds on the driver: the per-row
-    // comparison is then pure integer arithmetic — no float product whose
-    // last bit could differ between engines at a bucket boundary
-    val threshold = rates.foldLeft(lit(math.round(default * buckets))) {
+  /** Per-stratum INTEGER bucket threshold (math.round on the driver): the
+   * per-row comparison is then pure integer arithmetic — no float product
+   * whose last bit could differ between engines at a bucket boundary. */
+  def stratumThreshold(stratum: Column, rates: Seq[(String, Double)],
+                       default: Double, buckets: Int): Column =
+    rates.foldLeft(lit(math.round(default * buckets))) {
       case (acc, (s, r)) => when(stratum === s, lit(math.round(r * buckets))).otherwise(acc)
     }
+
+  def sampleStratified(docs: DataFrame, stratum: Column,
+                       rates: Seq[(String, Double)], default: Double,
+                       buckets: Int = 10000): DataFrame =
     spread(docs)
       .withColumn("bucket", sampleBucket(col("doc_id"), buckets))
-      .filter(col("bucket") < threshold)
-  }
+      .filter(col("bucket") < stratumThreshold(stratum, rates, default, buckets))
 
   /**
    * Global token frequency top-k (vocabulary construction input).
