@@ -56,6 +56,9 @@ object GraftFunctions {
     "hash60_array" -> (e => Hash60Array(e(0))),
     "minhash_sig" -> (e => MinHashSig(e(0))),
     "simhash60" -> (e => SimHash60(e(0))),
+    // k must be a foldable literal: the bound is part of the plan shape
+    "topk_min" -> (e => TopKMinLongs(l(e(0)),
+      e(1).eval().asInstanceOf[Number].intValue)),
   )
 
   def register(spark: SparkSession): Unit = builders.foreach { case (name, b) =>
@@ -109,6 +112,9 @@ object GraftFunctions {
   def hash60_array(arr: Column): Column = call_function("hash60_array", arr)
   def minhash_sig(hashes: Column): Column = call_function("minhash_sig", hashes)
   def simhash60(hashes: Column): Column = call_function("simhash60", hashes)
+  /** k smallest values of a long column per group, sorted ascending. */
+  def topk_min(v: Column, k: Int): Column =
+    call_function("topk_min", v, org.apache.spark.sql.functions.lit(k))
 }
 
 /** `spark.sql.extensions`-loadable injector (cluster deployment path). */

@@ -230,15 +230,22 @@ object SpatialJoins {
       val s = math.pow(math.ceil(worstW) + 1, 2)
       math.max(1L, (proofFactor.toLong * k / s).toLong)
     }
-    val dedupW = Window.partitionBy(col("lon"), col("lat")).orderBy(col("pid"))
+    // Stack dedup = "k smallest pids per coordinate" — a BOUNDED aggregate
+    // (topk_min, TypedImperativeAggregate), not a row_number window: the
+    // window was one exchange of EVERY deduped row plus a per-reducer sort
+    // (at 1B points a ~300M-row multi-GB sort-shuffle whose spill swung the
+    // measured job time 2x between identical runs); the aggregate's
+    // map-side partial combine ships <= stacks x k longs through the
+    // exchange and sorts nothing.
+    def stackDedup(rows: DataFrame): DataFrame = rows
+      .groupBy(col("lon"), col("lat"))
+      .agg(topk_min(col("pid"), k).as("__pids"))
+      .select(explode(col("__pids")).as("pid"), col("lon"), col("lat"))
     val (targetsD, levelCounts) = if (fineLevels.isEmpty) {
       // degenerate ladder (all levels coarser than the collapse bound):
       // global dedup + direct rollup, the r01 shape — safe because the
       // base agg at levels.max collapses >= 4:1 here by definition of lc
-      val tD = tt("global dedup")(targets
-        .withColumn("__sr", row_number().over(dedupW))
-        .filter(col("__sr") <= k).drop("__sr")
-        .localCheckpoint())
+      val tD = tt("global dedup")(stackDedup(targets).localCheckpoint())
       val base = tD
         .groupBy(cell_encode(col("lon"), col("lat"), lit(levels.max)).as("cell"))
         .agg(count(lit(1)).as("cnt"))
@@ -296,9 +303,8 @@ object SpatialJoins {
       val refinable = coarseCounts.filter(col("cnt") >= refineThresh).select("ccell")
       val withC = targets.withColumn("ccell",
         cell_encode(col("lon"), col("lat"), lit(lc)))
-      val hotD = tt("hotD")(withC.join(broadcast(refinable), Seq("ccell"), "left_semi")
-        .withColumn("__sr", row_number().over(dedupW))
-        .filter(col("__sr") <= k).drop("__sr", "ccell")
+      val hotD = tt("hotD")(stackDedup(
+          withC.join(broadcast(refinable), Seq("ccell"), "left_semi"))
         .localCheckpoint())
       // cold side stays LAZY: a rescan + broadcast anti-join per consumer
       // costs no shuffle, vs materializing |targets| rows
