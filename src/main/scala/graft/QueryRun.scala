@@ -17,9 +17,23 @@ object QueryRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev experiment knob: SPARK_GRAFT_CONF="key=val;key2=val2"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     val t0 = System.nanoTime()
-    val n = SparkEntry.queries(name)(spark, sfDir).count()
-    System.err.println(f"[queryrun] $name rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val t1 = System.nanoTime()
+    val n = df.count()
+    val t2 = System.nanoTime()
+    // second count on the SAME frame separates one-time cost (closure
+    // eval: operator-internal checkpoints/driver loops + first-plan
+    // optimization/codegen) from steady-state execution
+    val n2 = df.count()
+    val t3 = System.nanoTime()
+    System.err.println(f"[queryrun] $name rows=$n build=${(t1 - t0) / 1e9}%.2f s " +
+      f"count1=${(t2 - t1) / 1e9}%.2f s count2=${(t3 - t2) / 1e9}%.2f s" +
+      (if (n2 != n) s" NONDETERMINISTIC n2=$n2" else ""))
     spark.stop()
   }
 }

@@ -70,20 +70,12 @@ object TrainingQueries {
         .select(col("doc_id"), col("lang"), col("bucket"))),
     "vocab_topk" -> ((s, dir) => Corpus.vocabTopK(docs(s, dir), VocabK)),
     // end-to-end curation: quality gate ∧ confident lang-id ∧ near-dup
-    // cluster keeper ∧ stratified sample, composed as one declarative plan
+    // cluster keeper ∧ stratified sample — one fused corpus projection +
+    // broadcast anti-join on the dup losers (zero corpus shuffles)
     "curate_corpus" -> ((s, dir) => {
       val d = docs(s, dir)
-      val q = TextAnalysis.quality(d)
-        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-      val l = TextAnalysis.langId(d).select(col("doc_id"), col("lang_pred"))
-      val keepers = Corpus.dedupClusters(d, Dedup.minhashLshPairs(d))
-        .filter(col("keep")).select("doc_id")
-      q.join(l, "doc_id").join(keepers, "doc_id")
-        .filter(col("quality_score") >= CurateQualityMin && col("lang_pred") =!= "und")
-        .withColumn("bucket", Corpus.sampleBucket(col("doc_id"), SampleBuckets))
-        .filter(col("bucket") < Corpus.stratumThreshold(
-          col("lang_pred"), SampleRates, SampleDefault, SampleBuckets))
-        .select("doc_id", "lang_pred", "n_tokens", "quality_score", "bucket")
+      Corpus.curateCorpus(d, Dedup.minhashLshPairs(d), CurateQualityMin,
+        SampleRates, SampleDefault, SampleBuckets)
     }),
 
     "embed_near_dup" -> ((s, dir) =>

@@ -53,13 +53,44 @@ object Corpus {
    * corpus-sized. `localCheckpoint` per round cuts the growing lineage (at
    * warehouse scale: a checkpoint table per round, same shape).
    */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          driverThreshold: Long = 1L << 20): DataFrame = {
     val sym = pairs
       .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
       .unionByName(pairs
         .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
       .distinct()
       .localCheckpoint()
+    // Size-gated driver fast path (same shape as SpatialJoins' small-corpus
+    // branch): a dup graph under `driverThreshold` edges closes in one
+    // union-find pass instead of paying per-iteration Spark-job latency —
+    // a bench-visible ~10 s at sf scale. The bound is explicit and the
+    // distributed loop below remains the general path; the collect is of
+    // the DUPLICATE-PAIR graph, never the corpus.
+    val nEdges = sym.count()
+    if (nEdges <= driverThreshold) {
+      val edges = sym.select(col("src"), col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id labels: union-by-min above already makes every root the
+      // component minimum (parents only ever decrease toward the min id)
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return rows.toDF("id", "comp")
+    }
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
@@ -181,6 +212,45 @@ object Corpus {
     spread(docs)
       .withColumn("bucket", sampleBucket(col("doc_id"), buckets))
       .filter(col("bucket") < stratumThreshold(stratum, rates, default, buckets))
+
+  /**
+   * End-to-end corpus curation: quality gate ∧ confident language-id ∧
+   * near-dup cluster keeper ∧ deterministic stratified sample (stratified
+   * on the PREDICTED language). The whole pipeline is ONE corpus
+   * projection (quality + language metrics fused — they are per-row
+   * expressions over the same tokenization, so joining separate
+   * quality/lang frames would shuffle the corpus on doc_id twice for
+   * nothing), one broadcast ANTI join against the duplicate LOSERS (sized
+   * by the dup graph — the keeper set is corpus-sized, its complement is
+   * not), and a map-side hash-bucket filter: zero corpus shuffles.
+   */
+  def curateCorpus(docs: DataFrame, dupPairs: DataFrame, qualityMin: Double,
+                   rates: Seq[(String, Double)], default: Double,
+                   buckets: Int = 10000): DataFrame = {
+    val losers = connectedComponents(dupPairs)
+      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    // The metrics table is MATERIALIZED before the gates: pushing the
+    // quality/lang filter below the projection would inline the whole
+    // metric tree into the Filter, and higher-order functions evaluate
+    // interpreted with no common-subexpression elimination — the corpus
+    // would be re-tokenized ~15x per row (measured ~10s of the query at
+    // sf0.1). At warehouse scale this checkpoint is the per-doc metrics
+    // table a curation pipeline persists anyway (~1% of corpus bytes).
+    val metrics = spread(docs)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(Seq(col("doc_id")) ++
+        TextAnalysis.qualityCols(col("text"), col("toks")) ++
+        TextAnalysis.langScoreCols(col("toks")): _*)
+      .withColumn("quality_score", TextAnalysis.qualityScore)
+      .withColumn("lang_pred", TextAnalysis.langPred)
+      .localCheckpoint()
+    metrics
+      .filter(col("quality_score") >= qualityMin && col("lang_pred") =!= "und")
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .withColumn("bucket", sampleBucket(col("doc_id"), buckets))
+      .filter(col("bucket") < stratumThreshold(col("lang_pred"), rates, default, buckets))
+      .select("doc_id", "lang_pred", "n_tokens", "quality_score", "bucket")
+  }
 
   /**
    * Global token frequency top-k (vocabulary construction input).

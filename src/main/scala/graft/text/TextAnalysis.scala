@@ -35,28 +35,36 @@ object TextAnalysis {
    * oracle mismatch, and NULL scores silently fall out of threshold filters
    * in a real corpus (ADVICE.md).
    */
-  def quality(docs: DataFrame): DataFrame = {
-    val toks = col("toks")
+  /** The quality metric columns over (text, toks) — exposed so fused
+   * pipelines (Corpus.curateCorpus) can compute them in the SAME projection
+   * as other per-doc metrics instead of joining per-metric frames. */
+  def qualityCols(text: Column, toks: Column): Seq[Column] = {
     val nTok = size(toks)
     val nTypes = size(array_distinct(toks))
-    val alphaChars = length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+    val alphaChars = length(regexp_replace(lower(text), "[^a-z0-9]", ""))
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(toks, t => array_contains(stopArr, t)))
     val tokenChars = aggregate(toks, lit(0), (acc, t) => acc + length(t))
     def overTokens(num: Column): Column =
       when(nTok === 0, lit(0.0)).otherwise(num.cast("double") / nTok)
-    spread(docs).select(col("doc_id"), col("text"), tokens(col("text")).as("toks")).select(
-      col("doc_id"),
+    Seq(
       nTok.cast("long").as("n_tokens"),
       overTokens(nTypes).as("ttr"),
       overTokens(tokenChars).as("mean_token_len"),
-      when(length(col("text")) === 0, lit(0.0))
-        .otherwise(alphaChars.cast("double") / length(col("text"))).as("alpha_ratio"),
+      when(length(text) === 0, lit(0.0))
+        .otherwise(alphaChars.cast("double") / length(text)).as("alpha_ratio"),
       overTokens(nStop).as("stopword_ratio"))
-      .withColumn("quality_score",
-        col("ttr") * 0.4 + col("alpha_ratio") * 0.4 +
-          (lit(1.0) - col("stopword_ratio")) * 0.2)
   }
+
+  /** quality_score over the named metric columns of [[qualityCols]]. */
+  def qualityScore: Column =
+    col("ttr") * 0.4 + col("alpha_ratio") * 0.4 +
+      (lit(1.0) - col("stopword_ratio")) * 0.2
+
+  def quality(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: qualityCols(col("text"), col("toks")): _*)
+      .withColumn("quality_score", qualityScore)
 
   /**
    * Language-id heuristic: marker-token hits per language, argmax with
@@ -70,21 +78,27 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "est", "join", "filter"),
     "zh" -> Seq("de", "shi", "le", "zai", "he", "spark", "column"))
 
-  def langId(docs: DataFrame): DataFrame = {
-    val toks = col("toks")
-    val scored = spread(docs).select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id") +: langMarkers.map { case (lang, markers) =>
-        val arr = array(markers.map(lit): _*)
-        size(filter(toks, t => array_contains(arr, t))).cast("long").as(s"score_$lang")
-      }: _*)
+  /** Marker-hit score columns over a token-array column (one per language). */
+  def langScoreCols(toks: Column): Seq[Column] =
+    langMarkers.map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      size(filter(toks, t => array_contains(arr, t))).cast("long").as(s"score_$lang")
+    }
+
+  /** lang_pred over the named score columns of [[langScoreCols]]. */
+  def langPred: Column = {
     val best = langMarkers.map { case (lang, _) =>
       struct(col(s"score_$lang").as("s"), lit(lang).as("l"))
     }.reduce((a, b) =>
       when(b.getField("s") > a.getField("s"), b).otherwise(a))
-    scored.withColumn("lang_pred",
-      when(greatest(langMarkers.map(m => col(s"score_${m._1}")): _*) === 0, "und")
-        .otherwise(best.getField("l")))
+    when(greatest(langMarkers.map(m => col(s"score_${m._1}")): _*) === 0, "und")
+      .otherwise(best.getField("l"))
   }
+
+  def langId(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: langScoreCols(col("toks")): _*)
+      .withColumn("lang_pred", langPred)
 
   /** Order-sensitive 60-bit document fingerprint over the token sequence. */
   def fingerprints(docs: DataFrame): DataFrame =
