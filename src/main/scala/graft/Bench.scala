@@ -135,10 +135,18 @@ object Bench {
     // degrade JIT state), which would corrupt the lo-vs-hi comparison.
     // Fresh JVMs also mirror the north rule's per-cluster-size spark-submit.
     sys.env.get("SPARK_GRAFT_SCALING_CHILD").foreach { c =>
+      // Host-ceiling probes run HERE, on this fresh clean heap, at the
+      // attempt's own thread count and moment: a DRAM-streaming sweep and
+      // a pure-FLOP sweep. (The old parent-side probe ran after the full
+      // suite on a garbage-laden 48g heap and once recorded hi SLOWER than
+      // lo — GC artifact, not the host.) Their lo-vs-hi ratios bound what
+      // ANY byte-bound / compute-bound job can measure on this shared VM.
+      val dram = graft.util.HostProbe.memSweep(c.toInt)
+      val flops = graft.util.HostProbe.computeSweep(c.toInt)
       val (rows, sec) = withSession(c.toInt) { s =>
         scalingJob(s, 50000); time(scalingJob(s, scalePoints))
       }
-      println(s"SCALING_CHILD $rows $sec")
+      println(f"SCALING_CHILD $rows $sec $dram%.1f $flops%.1f")
       return
     }
 
@@ -223,7 +231,7 @@ object Bench {
             (f(7), f.sum)
           } finally src.close()
         } catch { case _: Throwable => (0L, 1L) }
-      def measuredOnce(cpus: Int): (Long, Double) = {
+      def measuredOnce(cpus: Int): (Long, Double, Double, Double) = {
         val javaBin = s"${System.getProperty("java.home")}/bin/java"
         val jvmArgs = java.lang.management.ManagementFactory
           .getRuntimeMXBean.getInputArguments
@@ -241,8 +249,8 @@ object Bench {
         val rc = p.waitFor()
         outLines.collectFirst {
           case l if l.startsWith("SCALING_CHILD ") =>
-            val Array(_, r, s) = l.split(" ")
-            (r.toLong, s.toDouble)
+            val f = l.split(" ")
+            (f(1).toLong, f(2).toDouble, f(3).toDouble, f(4).toDouble)
         }.getOrElse(sys.error(s"scaling child (cpus=$cpus) failed, rc=$rc"))
       }
 
@@ -250,36 +258,6 @@ object Bench {
       // quiet periods (measured via /proc/stat deltas); 0.02 marked every
       // attempt of a full study dirty. 0.04 sits above ambient but below
       // the 6%+ storms that actually corrupt timings.
-      // Host-environment probe, recorded with the results: sweeps/sec of a
-      // per-thread 64MB stride-64B array walk at lo vs hi thread counts.
-      // sweep_hi/sweep_lo near the cpu ratio = healthy; well under it = the
-      // shared DRAM bus (or a noisy neighbor) caps ANY data-parallel job on
-      // this VM regardless of plan quality.
-      def memSweep(threads: Int): Double = {
-        val arrs = Array.fill(threads)(new Array[Long](8000000)) // 64MB each
-        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-        val counts = new Array[Long](threads)
-        val ts = (0 until threads).map { i =>
-          val t = new Thread(() => {
-            var c = 0L; var s = 0L
-            val arr = arrs(i)
-            while (!stop.get()) {
-              var j = 0
-              while (j < arr.length) { s += arr(j); j += 8 }
-              c += 1
-            }
-            counts(i) = c + (if (s == Long.MinValue) 1 else 0)
-          })
-          t.start(); t
-        }
-        Thread.sleep(3000); stop.set(true); ts.foreach(_.join())
-        counts.sum / 3.0
-      }
-      val sweepLo = memSweep(cpusLo)
-      val sweepHi = memSweep(cpusHi)
-      System.err.println(f"[bench] host dram sweep: lo=$sweepLo%.1f/s hi=$sweepHi%.1f/s " +
-        f"ratio=${sweepHi / math.max(0.01, sweepLo)}%.2f (cpu ratio ${cpusHi.toDouble / cpusLo}%.1f)")
-
       val stealMax = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "0.04").toDouble
       val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
       // sized so the 1B-point schedule lands at ~2 lo + 2 hi attempts
@@ -288,7 +266,8 @@ object Bench {
       // every HI attempt, and hi attempts are the cheap ones the budget
       // preserves most of
       val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "1200").toDouble
-      final case class Attempt(cpus: Int, rows: Long, sec: Double, steal: Double) {
+      final case class Attempt(cpus: Int, rows: Long, sec: Double, steal: Double,
+                               dram: Double, flops: Double) {
         def clean: Boolean = steal <= stealMax
         def thr: Double = rows / sec
       }
@@ -297,14 +276,15 @@ object Bench {
       val attempts = scala.collection.mutable.ArrayBuffer.empty[Attempt]
       def attemptAt(cpus: Int): Attempt = {
         val (st0, tot0) = cpuStat()
-        val (rows, sec) = measuredOnce(cpus)
+        val (rows, sec, dram, flops) = measuredOnce(cpus)
         val (st1, tot1) = cpuStat()
         val steal = (st1 - st0).toDouble / math.max(1L, tot1 - tot0)
-        val a = Attempt(cpus, rows, sec, steal)
+        val a = Attempt(cpus, rows, sec, steal, dram, flops)
         attempts += a
         System.err.println(
           f"[bench] scaling cpus=$cpus attempt=${attempts.size} sec=$sec%.2f " +
-            f"host_steal=${steal * 100}%.1f%% clean=${a.clean} elapsed=${elapsed}%.0fs")
+            f"host_steal=${steal * 100}%.1f%% clean=${a.clean} " +
+            f"dram=$dram%.0f/s flops=$flops%.0f/s elapsed=${elapsed}%.0fs")
         a
       }
       // Fixed interleaved schedule: lo,hi / hi,lo / lo,hi / ... with NO
@@ -339,9 +319,12 @@ object Bench {
       val bestHi = pick(cpusHi)
       val eff = (bestHi.thr / bestLo.thr) / (cpusHi.toDouble / cpusLo)
       val attemptsJson = attempts.map(a =>
-        f"""{"cpus":${a.cpus},"sec":${a.sec}%.3f,"steal":${a.steal}%.4f,"clean":${a.clean}}""")
+        f"""{"cpus":${a.cpus},"sec":${a.sec}%.3f,"steal":${a.steal}%.4f,"clean":${a.clean},"dram":${a.dram}%.1f,"flops":${a.flops}%.1f}""")
         .mkString("[", ",", "]")
-      f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":${bestLo.sec}%.3f,"sec_hi":${bestHi.sec}%.3f,"rows_per_sec_lo":${bestLo.thr}%.1f,"rows_per_sec_hi":${bestHi.thr}%.1f,"efficiency":$eff%.3f,"steal_max":$stealMax,"rounds":$rounds,"host":{"dram_sweep_lo":$sweepLo%.1f,"dram_sweep_hi":$sweepHi%.1f},"attempts":$attemptsJson}"""
+      // host ceilings at the BEST attempt per level: what streaming-bound /
+      // compute-bound work could at most have scaled lo->hi in this window
+      val hostJson = f""""host":{"dram_lo":${bestLo.dram}%.1f,"dram_hi":${bestHi.dram}%.1f,"flops_lo":${bestLo.flops}%.1f,"flops_hi":${bestHi.flops}%.1f}"""
+      f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":${bestLo.sec}%.3f,"sec_hi":${bestHi.sec}%.3f,"rows_per_sec_lo":${bestLo.thr}%.1f,"rows_per_sec_hi":${bestHi.thr}%.1f,"efficiency":$eff%.3f,"steal_max":$stealMax,"rounds":$rounds,$hostJson,"attempts":$attemptsJson}"""
     }
 
     writeSummary(scaling)
