@@ -260,14 +260,15 @@ object Bench {
       // the 6%+ storms that actually corrupt timings.
       val stealMax = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "0.04").toDouble
       val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
-      // sized so even a degraded window (lo ~1000s + a 2x-slow hi) still
-      // fits a SECOND hi attempt: the asymmetric gate risk is a bad window
-      // hitting the only hi attempt (observed — one bus-degraded hi read
-      // 412s vs 215s typical, dram probe 1376/s vs ~2100 healthy, and the
-      // old 1200s budget left no retry), and hi attempts are the cheap
-      // ones. Storms that slow the LO level only lower the efficiency's
-      // denominator.
-      val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "1900").toDouble
+      // sized so the schedule ends after 1 lo + 2 hi in the typical case
+      // (~23 min; a second lo attempt adds ~16 min and can only LOWER the
+      // reported efficiency — lo slowness raises it, so one lo sample is
+      // the conservative choice). The hi floor below guarantees the second
+      // hi attempt even over budget: the asymmetric gate risk is a bad
+      // window hitting the only hi attempt (observed — one bus-degraded hi
+      // read 412s vs 215s typical, dram probe 1376/s vs ~2100 healthy, and
+      // a tight budget left no retry).
+      val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "1300").toDouble
       final case class Attempt(cpus: Int, rows: Long, sec: Double, steal: Double,
                                dram: Double, flops: Double) {
         def clean: Boolean = steal <= stealMax
