@@ -24,14 +24,21 @@ object SparkEntry {
   private def W(names: String*): String = DerivedTables.withClause(names: _*)
 
   /** kNN index built at most once per (JVM, sf dir) — within one run the
-   * input is immutable, so rebuilds would only re-time identical work. */
+   * input is immutable, so rebuilds would only re-time identical work.
+   * Keyed on the SANITIZED FULL PATH, not a hash (a hash collision between
+   * two sf dirs would silently reuse the wrong index — VERDICT.md), and a
+   * path only stays marked built if the build+save SUCCEEDED (a marked-but-
+   * failed build would make every later call skip the build and fail at
+   * load with a confusing missing-index error — ADVICE.md). */
   private val builtKnnIndexes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def ensureKnnIndex(s: SparkSession, dir: String): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_knn_index_" +
-      Integer.toHexString(dir.hashCode)
-    if (builtKnnIndexes.add(path))
-      KnnIndex.save(KnnIndex.build(s.table("points"), kMax = 8), path)
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    if (builtKnnIndexes.add(path)) {
+      try KnnIndex.save(KnnIndex.build(s.table("points"), kMax = 8), path)
+      catch { case e: Throwable => builtKnnIndexes.remove(path); throw e }
+    }
     path
   }
 
@@ -90,6 +97,15 @@ object SparkEntry {
     "tile_assign" -> ((s, dir) => {
       prep(s, dir)
       SpatialJoins.tileAssign(s.table("points"), z = 6)
+        .select(col("pid").cast("long"), col("tile_id"))
+    }),
+    // the north rule's range-partitioned shuffle shape, measured + oracled:
+    // same rows as tile_assign, but repartitionByRange(tile_id) so
+    // downstream writes get contiguous tile ranges (VERDICT.md missing #5 —
+    // previously only covered via s8_lineage's writeTable)
+    "tile_assign_ranged" -> ((s, dir) => {
+      prep(s, dir)
+      SpatialJoins.tileAssign(s.table("points"), z = 6, partitions = 32)
         .select(col("pid").cast("long"), col("tile_id"))
     }),
     "tile_join" -> ((s, dir) => {
@@ -254,6 +270,31 @@ object SparkEntry {
         col("cnt").cast("long").as("cnt"))
     }),
 
+    // --- T19: streaming exact dedup driven through a REAL file stream
+    // (readStream -> flatMapGroupsWithState -> memory sink, AvailableNow) —
+    // the batch dedup_exact keeper SQL is the oracle, closing the one
+    // spec-only operator (VERDICT.md #5). The source is written as ONE file
+    // so the whole stream lands in one micro-batch, where first-seen-across-
+    // batches == min-within-batch == the batch keeper policy (the parity
+    // precondition documented on CorpusStream.streamingExactDedup) ---
+    "s19_stream_dedup" -> ((s, dir) => {
+      prep(s, dir)
+      val tag = dir.replaceAll("[^A-Za-z0-9_]", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_docs_$tag"
+      import s.implicits._
+      val src = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      src.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(src.schema).parquet(tmp)
+        .as[graft.streaming.CorpusStream.StreamDoc]
+      val qn = s"s19_mem_$tag"
+      val q = graft.streaming.CorpusStream.streamingExactDedup(stream)
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(col("content_hash"), col("doc_id"))
+    }),
+
     // --- span invariant over the interleaved docs table (input_hint) ---
     "span_fingerprint" -> ((s, dir) => {
       prep(s, dir)
@@ -330,6 +371,14 @@ object SparkEntry {
 
     "tile_assign" -> s"""${W("points")}
       SELECT CAST(pid AS BIGINT) AS pid, $tileXySql AS tile_id FROM points""",
+
+    // identical rows — the range partitioning changes layout, not content
+    "tile_assign_ranged" -> s"""${W("points")}
+      SELECT CAST(pid AS BIGINT) AS pid, $tileXySql AS tile_id FROM points""",
+
+    "s19_stream_dedup" -> """
+      WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
+      SELECT content_hash, min(doc_id) AS doc_id FROM h GROUP BY content_hash""",
 
     "tile_join" -> s"""${W("points", "raster_tiles")}
       SELECT CAST(p.pid AS BIGINT) AS pid, t.tile_id AS tile_id

@@ -26,6 +26,8 @@ object TrainingQueries {
   private val TopK = 5
   private val QueryMod = 25
   private val NumPlanes = 8
+  /** SRP hash tables for the sub-quadratic near-dup path (srp_near_dup) */
+  private val SrpTables = 8
   private val IvfCentroids = 16
   private val IvfProbe = 4
   /** eval split for the contamination screen: doc_id % EvalMod == 0 */
@@ -80,6 +82,12 @@ object TrainingQueries {
 
     "embed_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), CosineThreshold)),
+    // the 10^12-scale near-dup path: multi-table SRP candidates + exact
+    // verify (precision 1.0, tunable recall) — sub-quadratic, unlike the
+    // exact embed_near_dup above (VERDICT.md missing #1)
+    "srp_near_dup" -> ((s, dir) =>
+      Similarity.srpNearDupPairs(emb(s, dir), CosineThreshold, SrpTables,
+        NumPlanes, EmbDim)),
     "ann_topk" -> ((s, dir) =>
       Similarity.bruteTopK(emb(s, dir).filter(col("vec_id") % QueryMod === 0),
         emb(s, dir), TopK)),
@@ -264,10 +272,11 @@ object TrainingQueries {
     s"cents AS (SELECT * FROM (VALUES $rows) t(c, w, cn))"
   }
 
-  /** SRP bucket expression over an embedding column e */
-  private def bucketExpr(e: String): String =
+  /** SRP bucket expression over an embedding column e (table's own
+   * hyperplane family — the same per-table multipliers the engine uses) */
+  private def bucketExpr(e: String, table: Int = 0): String =
     (0 until NumPlanes).map { j =>
-      val w = "[" + Similarity.planeWeights(NumPlanes, EmbDim)(j).mkString(", ") + "]"
+      val w = "[" + Similarity.planeWeights(NumPlanes, EmbDim, table)(j).mkString(", ") + "]"
       s"(CASE WHEN ${sqlDotSeq(w, e, EmbDim)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
@@ -421,6 +430,25 @@ object TrainingQueries {
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${pairCos("a", "b")} AS cos
         FROM p a JOIN p b ON a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= $CosineThreshold""",
+
+    // multi-table SRP candidates (same-bucket in ANY table) + exact verify:
+    // the per-table bucket lists are the engine's own hyperplane families
+    // reproduced bit-for-bit (integer congruence weights, sequential folds)
+    "srp_near_dup" -> s"""WITH $embCte,
+      pb AS (SELECT vec_id, e, n,
+                    [${(0 until SrpTables).map(t => bucketExpr("e", t)).mkString(",\n                     ")}] AS bks
+             FROM p),
+      br AS (SELECT vec_id, t.i AS tbl, bks[t.i + 1] AS bucket
+             FROM pb, (SELECT unnest(range(0, $SrpTables)) AS i) t),
+      cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+               FROM br a JOIN br b
+                 ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      verified AS (
+        SELECT c.vec_a, c.vec_b, ${pairCos("va", "vb")} AS cos
+        FROM cand c
+        JOIN p va ON va.vec_id = c.vec_a
+        JOIN p vb ON vb.vec_id = c.vec_b)
+      SELECT vec_a, vec_b, cos FROM verified WHERE cos >= $CosineThreshold""",
 
     "ann_topk" -> s"""WITH $embCte,
       q AS (SELECT * FROM p WHERE vec_id % $QueryMod = 0),

@@ -219,14 +219,23 @@ object Similarity {
    *
    * `blocks` defaults to ~2*sqrt(parallelism) so the pair-id count
    * comfortably covers the session's shuffle partitions.
+   *
+   * `maxVectors` makes the quadratic-cost contract EXPLICIT (the
+   * [[bruteTopK]] `maxQueries` idiom, VERDICT.md): N vectors cost N^2/2
+   * dim-wide dot products no matter how evenly the blocks spread them —
+   * corpora beyond the cap belong on [[srpNearDupPairs]].
    */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
-                         blocks: Int = 0): DataFrame = {
+                         blocks: Int = 0, maxVectors: Long = 1000000L): DataFrame = {
     val b0 = if (blocks > 0) blocks
       else math.max(4, 2 * math.sqrt(
         vectors.sparkSession.sessionState.conf.numShufflePartitions.toDouble).toInt)
     val v = normed(spread(vectors), "vec_id", "e", "n")
       .withColumn("blk", pmod(col("vec_id"), lit(b0)).cast("int"))
+    val nV = v.count()
+    require(nV <= maxVectors,
+      s"cosineNearDupPairs: $nV vectors exceed maxVectors=$maxVectors — " +
+        "exact near-dup is O(N^2) FLOPs; use srpNearDupPairs for large corpora")
     // a-role: pairs (blk, y) for y >= blk; b-role: pairs (y, blk) for y <= blk
     val aRep = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
         col("n").as("na"), col("blk").as("ba"),

@@ -165,6 +165,11 @@ object SpatialJoins {
   private[ops] def prepareKnnTargets(targets: DataFrame, k: Int,
       levels: Seq[Int], ringK: Int,
       proofFactor: Int): (DataFrame, DataFrame, Int) = {
+    // the stack dedup below narrows to exactly (pid, lon, lat); make that
+    // explicit at the API boundary instead of silently dropping a future
+    // caller's extra columns in the degenerate branch (ADVICE.md)
+    require(targets.columns.toSeq.sorted == Seq("lat", "lon", "pid"),
+      s"kNN targets must be exactly (pid, lon, lat), got ${targets.columns.mkString(",")}")
     // 0+1. density-guided selective refinement (histogram + stack dedup).
     //
     // The r01 plan aggregated every target at the FINEST ladder level and

@@ -6,9 +6,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /**
  * Streaming corpus operators: the training-data stages that must run as
- * documents ARRIVE (a crawl feed) rather than over a finished table. Mirrors
- * the batch operators in [[graft.text.Dedup]] so semantics cannot drift:
- * the keeper policy (min doc_id per content hash) is identical.
+ * documents ARRIVE (a crawl feed) rather than over a finished table.
+ *
+ * Keeper semantics vs the batch [[graft.text.Dedup.exact]]: WITHIN a
+ * micro-batch the keeper is the min doc_id (same comparator as batch);
+ * ACROSS micro-batches it is first-seen — a lower doc_id arriving in a
+ * later batch is dropped, because the earlier keeper was already emitted
+ * (append-mode output is immutable). Batch parity therefore holds exactly
+ * when doc_ids arrive nondecreasing across batches, or when the whole
+ * stream lands in one micro-batch (ADVICE.md).
  */
 object CorpusStream {
 

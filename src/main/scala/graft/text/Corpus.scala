@@ -126,14 +126,27 @@ object Corpus {
    * representative". CC state is sized by the DUPLICATE graph — the corpus
    * only flows through one left join at the end.
    *
+   * The corpus-side label join is SIZE-GATED, not force-broadcast: the label
+   * table is sized by the duplicate graph, and on a crawl corpus with 30-50%
+   * duplication that is corpus-scale — an unconditional `hint("broadcast")`
+   * of billions of ids OOMs the driver and every executor (VERDICT.md). Below
+   * `broadcastThreshold` labels (counted — the label table is already
+   * materialized by [[connectedComponents]]) the hint saves the corpus
+   * shuffle; above it the join runs as a plain shuffled outer join — correct
+   * either way, same idiom as connectedComponents' driver fast-path gate.
+   *
    * @param docs  full corpus (doc_id, ...)
    * @param pairs duplicate pairs (doc_a, doc_b) from any [[Dedup]] strategy
+   * @param broadcastThreshold max label rows to force-broadcast (~32 MB of
+   *                           (long, long) rows at the 2^22 default)
    */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+                    broadcastThreshold: Long = 1L << 22): DataFrame = {
     val comp = connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("comp").as("cid"))
+    val compSide = if (comp.count() <= broadcastThreshold) comp.hint("broadcast") else comp
     val labeled = docs.select(col("doc_id"))
-      .join(comp.hint("broadcast"), Seq("doc_id"), "left_outer")
+      .join(compSide, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
     val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labeled.join(sizes, "cluster_id")
@@ -220,15 +233,22 @@ object Corpus {
    * projection (quality + language metrics fused — they are per-row
    * expressions over the same tokenization, so joining separate
    * quality/lang frames would shuffle the corpus on doc_id twice for
-   * nothing), one broadcast ANTI join against the duplicate LOSERS (sized
-   * by the dup graph — the keeper set is corpus-sized, its complement is
-   * not), and a map-side hash-bucket filter: zero corpus shuffles.
+   * nothing), one ANTI join against the duplicate LOSERS, and a map-side
+   * hash-bucket filter.
+   *
+   * The loser anti-join is SIZE-GATED like [[dedupClusters]]'s label join:
+   * losers are sized by the dup graph, so the broadcast (which keeps the
+   * pipeline at zero corpus shuffles) only applies below
+   * `broadcastThreshold` rows; above it the anti-join shuffles both sides —
+   * one corpus shuffle instead of an executor-wide OOM (VERDICT.md).
    */
   def curateCorpus(docs: DataFrame, dupPairs: DataFrame, qualityMin: Double,
                    rates: Seq[(String, Double)], default: Double,
-                   buckets: Int = 10000): DataFrame = {
+                   buckets: Int = 10000,
+                   broadcastThreshold: Long = 1L << 22): DataFrame = {
     val losers = connectedComponents(dupPairs)
       .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    val loserSide = if (losers.count() <= broadcastThreshold) broadcast(losers) else losers
     // The metrics table is MATERIALIZED before the gates: pushing the
     // quality/lang filter below the projection would inline the whole
     // metric tree into the Filter, and higher-order functions evaluate
@@ -246,7 +266,7 @@ object Corpus {
       .localCheckpoint()
     metrics
       .filter(col("quality_score") >= qualityMin && col("lang_pred") =!= "und")
-      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .join(loserSide, Seq("doc_id"), "left_anti")
       .withColumn("bucket", sampleBucket(col("doc_id"), buckets))
       .filter(col("bucket") < stratumThreshold(col("lang_pred"), rates, default, buckets))
       .select("doc_id", "lang_pred", "n_tokens", "quality_score", "bucket")

@@ -19,7 +19,16 @@ object Spread {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     val nFiles = try df.inputFiles.length catch { case _: Throwable => 0 }
     if (nFiles >= target) df
-    else if (df.rdd.getNumPartitions < target) df.repartition(target)
-    else df
+    else {
+      // post-shuffle plans expose a KNOWN partitioning on the physical plan
+      // — inspect it before falling back to df.rdd (which instantiates the
+      // RDD DAG; cheap but not free, and this runs once per call site)
+      val planParts = try
+        df.queryExecution.executedPlan.outputPartitioning.numPartitions
+      catch { case _: Throwable => 0 }
+      if (planParts >= target) df
+      else if (df.rdd.getNumPartitions < target) df.repartition(target)
+      else df
+    }
   }
 }

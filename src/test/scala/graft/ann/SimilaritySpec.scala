@@ -52,6 +52,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cnt === run(5).size)
   }
 
+  test("cosineNearDupPairs enforces the maxVectors quadratic-cost contract") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(sample, 0.9, maxVectors = 2)
+    }
+    assert(ex.getMessage.contains("maxVectors"))
+  }
+
   test("srpNearDupPairs is a verified subset of the exact pairs") {
     val exact = Similarity.cosineNearDupPairs(sample, 0.9)
       .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect().toSet
