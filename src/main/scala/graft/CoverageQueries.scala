@@ -170,6 +170,18 @@ object CoverageQueries {
         .select(col("rel_id"), col("n_rings"), col("area"), col("wkt"))
     }),
 
+    // F12 FULL multipolygon assembly: rings stitched from PARTIAL way
+    // segments (endpoint matching with reversal) + inner-role holes
+    // subtracted from area and nested in the WKT (VERDICT.md #4; fixture:
+    // split/reversed/multi-ring relations derived in DerivedTables)
+    "rel_polygons_stitched" -> ((s, dir) => {
+      prep(s, dir)
+      GeometryBuild.buildRelPolygonsStitched(s.table("mp_rel_members"),
+        s.table("mp_way_members"), s.table("mp_node_geoms"))
+        .select(col("rel_id"), col("n_outer"), col("n_inner"),
+          col("area"), col("wkt"))
+    }),
+
     // P7: geometry-only MERGE through the osm2rdf option gate — a dump
     // "built without --add-centroid" must refresh wkt/length/envelope for
     // dirty ways while leaving centroid untouched
@@ -244,7 +256,78 @@ object CoverageQueries {
           list_reduce(list_prepend(0.0::DOUBLE, xs), (a, b) -> a + b) / len(xs),
           list_reduce(list_prepend(0.0::DOUBLE, ys), (a, b) -> a + b) / len(ys)) || ')'"""
 
+  /** DuckDB side of the stitching fold — the SAME sequential contract as
+   * GeometryBuild.buildRelPolygonsStitched, expressed over list lambdas:
+   * fold state is `[chain] || rings` (a list of point-lists, chain first),
+   * elements are `[segment]` so the accumulator and element types match
+   * list_reduce's requirement. */
+  private val stitchedOracle: String = {
+    val pt = "STRUCT(n BIGINT, x DOUBLE, y DOUBLE)"
+    val (chain, rings, seg) = ("acc[1]", "acc[2:]", "el[1]")
+    def close(c: String) =
+      s"CASE WHEN ($c)[1].n = ($c)[-1].n THEN ($c) ELSE list_append(($c), ($c)[1]) END"
+    val j = s"""CASE
+       WHEN len($chain) = 0 THEN list_prepend($seg, $rings)
+       WHEN ($seg)[1].n = ($chain)[-1].n THEN list_prepend(list_concat($chain, ($seg)[2:]), $rings)
+       WHEN ($seg)[-1].n = ($chain)[-1].n THEN list_prepend(list_concat($chain, list_reverse($seg)[2:]), $rings)
+       ELSE list_prepend($seg, list_append($rings, ${close(chain)}))
+      END"""
+    val step = s"""CASE WHEN len(($j)[1]) >= 4 AND ($j)[1][1].n = ($j)[1][-1].n
+       THEN list_prepend([]::$pt[], list_append(($j)[2:], ($j)[1]))
+       ELSE ($j) END"""
+    val fold = s"""list_reduce(
+        list_prepend([[]::$pt[]], list_transform(segs, s -> [s])),
+        (acc, el) -> $step)"""
+    val finalRings = s"""CASE WHEN len(f[1]) = 0 THEN f[2:]
+       ELSE list_append(f[2:], ${close("f[1]")}) END"""
+    def shoelace(r: String) = s"""abs(list_reduce(list_prepend(0.0::DOUBLE,
+        [($r)[i].x * ($r)[i+1].y - ($r)[i+1].x * ($r)[i].y for i in range(1, len($r))]),
+        (a, b) -> a + b)) / 2.0"""
+    def ringTxt(r: String) =
+      s"array_to_string([printf('%.7f %.7f', p.x, p.y) for p in ($r)], ',')"
+    val assign = s"""coalesce([j for j in range(1, len(outers) + 1)
+        if r[1].x >= list_min([p.x for p in outers[j]]) AND r[1].x <= list_max([p.x for p in outers[j]])
+       AND r[1].y >= list_min([p.y for p in outers[j]]) AND r[1].y <= list_max([p.y for p in outers[j]])][1], 1)"""
+    s"""${W("mp_rel_members", "mp_way_members", "mp_node_geoms")},
+      wseg AS (
+        SELECT w.way_id,
+               list(struct_pack(n := w.node_id, x := g.lon, y := g.lat) ORDER BY w.pos, w.node_id) AS seg
+        FROM mp_way_members w JOIN mp_node_geoms g ON w.node_id = g.id
+        GROUP BY w.way_id),
+      rsegs AS (
+        SELECT r.rel_id, r.role, list(s.seg ORDER BY r.pos, r.member_id) AS segs
+        FROM mp_rel_members r JOIN wseg s ON r.member_id = s.way_id
+        WHERE r.member_type = 'way' AND r.role IN ('outer', 'inner')
+        GROUP BY r.rel_id, r.role),
+      folded AS (SELECT rel_id, role, $fold AS f FROM rsegs),
+      stitched AS (SELECT rel_id, role, $finalRings AS rings FROM folded),
+      byrole AS (
+        SELECT coalesce(o.rel_id, i.rel_id) AS rel_id,
+               coalesce(o.rings, []::$pt[][]) AS outers,
+               coalesce(i.rings, []::$pt[][]) AS inners
+        FROM (SELECT rel_id, rings FROM stitched WHERE role = 'outer') o
+        FULL OUTER JOIN (SELECT rel_id, rings FROM stitched WHERE role = 'inner') i
+          ON o.rel_id = i.rel_id),
+      meta AS (
+        SELECT rel_id, outers,
+               [struct_pack(txt := ${ringTxt("r")}, asg := $assign) for r in inners] AS im,
+               CAST(len(outers) AS BIGINT) AS n_outer,
+               CAST(len(inners) AS BIGINT) AS n_inner,
+               list_reduce(list_prepend(0.0::DOUBLE, [${shoelace("r")} for r in outers]), (a, b) -> a + b)
+             - list_reduce(list_prepend(0.0::DOUBLE, [${shoelace("r")} for r in inners]), (a, b) -> a + b) AS area
+        FROM byrole)
+      SELECT rel_id, n_outer, n_inner, area,
+        'MULTIPOLYGON(' || array_to_string(
+          ['(' || array_to_string(
+              list_prepend('(' || ${ringTxt("outers[j]")} || ')',
+                ['(' || m.txt || ')' for m in im if m.asg = j]), ',') || ')'
+           for j in range(1, len(outers) + 1)], ',') || ')' AS wkt
+      FROM meta"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "rel_polygons_stitched" -> stitchedOracle,
+
     "s1_osmchange_xml" -> {
       val rows = s1Recs.map(r =>
         s"('${r.objType}', CAST(${r.id} AS BIGINT), CAST(${r.version} AS BIGINT), '${r.action2}')")

@@ -172,6 +172,66 @@ object DerivedTables {
   val rasterTilesSql: String = """
     SELECT DISTINCT (p_partkey * 31) % 4096 AS tile_id FROM part"""
 
+  // --- multipolygon ring-stitching fixture (F12 residue, VERDICT.md #4):
+  // 25 relations (from nation) whose OUTER rings are split across PARTIAL
+  // way segments — square rings of 8 boundary nodes split into 3 ways, the
+  // middle way stored REVERSED for odd relations — plus an `inner`-role
+  // hole ring (also split, reversed for rel % 3 = 0), a second disjoint
+  // closed outer ring for rel % 5 = 0 (multi-ring + chain restart), and a
+  // non-way member that stitching must ignore. This is the shape real OSM
+  // multipolygons have (reference golden tests/data/relation.ttl: lakes
+  // with islands, boundaries split across many ways).
+
+  /** node k -> offset from the relation's center (outer square half-width 1,
+   * inner square 0.4, second square at +3 with half-width 0.5). */
+  private val mpKoff = """(VALUES
+      (0, -1.0, -1.0), (1, 0.0, -1.0), (2, 1.0, -1.0), (3, 1.0, 0.0),
+      (4, 1.0, 1.0), (5, 0.0, 1.0), (6, -1.0, 1.0), (7, -1.0, 0.0),
+      (8, -0.4, -0.4), (9, 0.4, -0.4), (10, 0.4, 0.4), (11, -0.4, 0.4),
+      (12, 2.5, -0.5), (13, 3.5, -0.5), (14, 3.5, 0.5), (15, 2.5, 0.5)
+    ) AS t(k, dx, dy)"""
+
+  /** way segment definitions: (way seq in rel, role, pos in way, node k,
+   * applicability condition on the relation key). */
+  private val mpSegdef = """(VALUES
+      (1, 'outer', 1, 0, 'all'), (1, 'outer', 2, 1, 'all'), (1, 'outer', 3, 2, 'all'), (1, 'outer', 4, 3, 'all'),
+      (2, 'outer', 1, 3, 'even'), (2, 'outer', 2, 4, 'even'), (2, 'outer', 3, 5, 'even'),
+      (2, 'outer', 1, 5, 'odd'), (2, 'outer', 2, 4, 'odd'), (2, 'outer', 3, 3, 'odd'),
+      (3, 'outer', 1, 5, 'all'), (3, 'outer', 2, 6, 'all'), (3, 'outer', 3, 7, 'all'), (3, 'outer', 4, 0, 'all'),
+      (4, 'inner', 1, 8, 'all'), (4, 'inner', 2, 9, 'all'), (4, 'inner', 3, 10, 'all'),
+      (5, 'inner', 1, 10, 'notmod3'), (5, 'inner', 2, 11, 'notmod3'), (5, 'inner', 3, 8, 'notmod3'),
+      (5, 'inner', 1, 8, 'mod3'), (5, 'inner', 2, 11, 'mod3'), (5, 'inner', 3, 10, 'mod3'),
+      (6, 'outer', 1, 12, 'mod5'), (6, 'outer', 2, 13, 'mod5'), (6, 'outer', 3, 14, 'mod5'), (6, 'outer', 4, 15, 'mod5'), (6, 'outer', 5, 12, 'mod5')
+    ) AS t(wseq, role, ptpos, k, cond)"""
+
+  private val mpCond = """cond = 'all'
+       OR (cond = 'even' AND n_nationkey % 2 = 0)
+       OR (cond = 'odd' AND n_nationkey % 2 = 1)
+       OR (cond = 'mod3' AND n_nationkey % 3 = 0)
+       OR (cond = 'notmod3' AND n_nationkey % 3 <> 0)
+       OR (cond = 'mod5' AND n_nationkey % 5 = 0)"""
+
+  val mpNodeGeomsSql: String = s"""
+    SELECT n_nationkey * 100 + k AS id,
+           CAST(n_nationkey * 3 AS DOUBLE) - 30.0 + CAST(dx AS DOUBLE) AS lon,
+           CAST(n_nationkey * 2 AS DOUBLE) - 20.0 + CAST(dy AS DOUBLE) AS lat
+    FROM nation CROSS JOIN $mpKoff"""
+
+  val mpWayMembersSql: String = s"""
+    SELECT n_nationkey * 10 + wseq AS way_id,
+           n_nationkey * 100 + k AS node_id,
+           ptpos AS pos
+    FROM nation CROSS JOIN $mpSegdef
+    WHERE $mpCond"""
+
+  val mpRelMembersSql: String = s"""
+    SELECT DISTINCT n_nationkey AS rel_id, n_nationkey * 10 + wseq AS member_id,
+           'way' AS member_type, role, wseq AS pos
+    FROM nation CROSS JOIN $mpSegdef
+    WHERE $mpCond
+    UNION ALL
+    SELECT n_nationkey, n_nationkey * 100, 'node', '', 7 FROM nation"""
+
   val derived: Seq[(String, String)] = Seq(
     "points" -> pointsSql,
     "rects" -> rectsSql,
@@ -182,6 +242,9 @@ object DerivedTables {
     "rel_members" -> relMembersSql,
     "doc_spans" -> docSpansSql,
     "raster_tiles" -> rasterTilesSql,
+    "mp_node_geoms" -> mpNodeGeomsSql,
+    "mp_way_members" -> mpWayMembersSql,
+    "mp_rel_members" -> mpRelMembersSql,
   )
 
   /** Register base parquet tables + derived views for `sfDir`. */
