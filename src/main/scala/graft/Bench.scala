@@ -60,6 +60,17 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** (steal ticks, total ticks) from /proc/stat — the host-noise probe both
+   * the scaling study and the suite key their retries on. */
+  private def cpuStat(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (f(7), f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => (0L, 1L) }
+
   /** The scaling job: identical plan + input at any parallelism. Returns
    * total join-output rows (the throughput numerator). The kNN query count
    * scales with input size (capped) so the kNN phase — the highest-variance
@@ -150,11 +161,25 @@ object Bench {
       return
     }
 
-    // ---- part 1: sf-dir suite (skip with SPARK_GRAFT_SUITE=0)
+    // ---- part 1: sf-dir suite (skip with SPARK_GRAFT_SUITE=0).
+    // Storm-robustness (VERDICT.md r02 #1): the r02 driver window charged
+    // pip_join 48.6 s for a query that runs in 7.2 s locally on identical
+    // code — this host's minute-scale steal/bus storms make any SINGLE
+    // timing a coin flip. Same discipline as the scaling study now:
+    //  - per-attempt /proc/stat steal measured and recorded per query;
+    //  - HEADLINE queries always run twice (unconditional best-of-2 — not
+    //    conditioned on the result, so it cannot bias the metric);
+    //  - secondary queries retry once only when the attempt was DIRTY
+    //    (steal above SPARK_GRAFT_STEAL_MAX — again, keyed on measured
+    //    environment noise, never on the measured time).
+    // Best attempt per query = fastest non-failed (host noise is strictly
+    // one-sided: it only slows runs down).
     val doSuite = sys.env.getOrElse("SPARK_GRAFT_SUITE", "1") != "0"
+    val suiteStealMax = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "0.04").toDouble
     val names = if (!doSuite) Seq.empty
       else (headline ++ secondary).filter(SparkEntry.queries.contains)
-    val results = if (!doSuite) Seq.empty[(String, (Double, Long))]
+    final case class QAttempt(sec: Double, rows: Long, steal: Double)
+    val results = if (!doSuite) Seq.empty[(String, Seq[QAttempt])]
     else withSession(cpus) { spark =>
       // JIT/codegen warmup so the first timed query isn't charged for
       // cold compilation (same discipline as the scaling study)
@@ -171,19 +196,36 @@ object Bench {
         try SparkEntry.benchPrepare.get(name).foreach(p => p(spark, sfDir))
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name prepare failed: ${e.getMessage}") }
-        val (rows, sec) =
-          try time(SparkEntry.queries(name)(spark, sfDir).count())
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); (-1L, -1.0) }
-        System.err.println(f"[bench] $name%-22s ${sec}%8.2f s  $rows%10d rows")
+        def attempt(): QAttempt = {
+          val (s0, t0) = cpuStat()
+          val (rows, sec) =
+            try time(SparkEntry.queries(name)(spark, sfDir).count())
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); (-1L, -1.0) }
+          val (s1, t1) = cpuStat()
+          val a = QAttempt(sec, rows, (s1 - s0).toDouble / math.max(1L, t1 - t0))
+          System.err.println(f"[bench] $name%-22s ${a.sec}%8.2f s  ${a.rows}%10d rows " +
+            f"steal=${a.steal * 100}%.1f%%")
+          a
+        }
+        val a1 = attempt()
+        val attempts =
+          if (headline.contains(name)) Seq(a1, attempt())
+          else if (a1.rows < 0 || a1.steal > suiteStealMax) Seq(a1, attempt())
+          else Seq(a1)
         spark.sparkContext.getPersistentRDDs
           .filterNot { case (id, _) => keepIds(id) }.values.foreach(_.unpersist(false))
-        name -> (sec, rows)
+        name -> attempts
       }
     }
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val headRows = results.filter(r => headline.contains(r._1)).map(_._2._2).filter(_ >= 0).sum
-    val headSec = results.filter(r => headline.contains(r._1)).map(_._2._1).filter(_ >= 0).sum
+    def best(as: Seq[QAttempt]): QAttempt = {
+      val ok = as.filter(_.rows >= 0)
+      if (ok.nonEmpty) ok.minBy(_.sec) else as.head
+    }
+    val picked = results.map { case (n, as) => n -> best(as) }
+    val total = picked.map(_._2.sec).filter(_ >= 0).sum
+    val headRows = picked.filter(r => headline.contains(r._1)).map(_._2.rows).filter(_ >= 0).sum
+    val headSec = picked.filter(r => headline.contains(r._1)).map(_._2.sec).filter(_ >= 0).sum
     val headThroughput = if (headSec > 0) headRows / headSec else 0.0
 
     // Emit the summary BOTH as a plain stdout line and as a file: the round
@@ -192,10 +234,17 @@ object Bench {
     // any log-prefix plumbing; it is (re)written after the suite AND after
     // the scaling study so a timeout mid-study still leaves suite metrics.
     val benchOutPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    val qs = results.map { case (k, (sec, _)) => s""""$k":$sec""" }.mkString("{", ",", "}")
-    val rs = results.map { case (k, (_, rows)) => s""""$k":$rows""" }.mkString("{", ",", "}")
+    val qs = picked.map { case (k, a) => s""""$k":${a.sec}""" }.mkString("{", ",", "}")
+    val rs = picked.map { case (k, a) => s""""$k":${a.rows}""" }.mkString("{", ",", "}")
+    // per-query evidence: steal of the picked attempt + every attempt's
+    // (sec, steal), so an anomalous reading is attributable in the JSON
+    val st = picked.map { case (k, a) => f""""$k":${a.steal}%.4f""" }.mkString("{", ",", "}")
+    val at = results.map { case (k, as) =>
+      s""""$k":[${as.map(a => f"""{"sec":${a.sec}%.3f,"steal":${a.steal}%.4f}""").mkString(",")}]"""
+    }.mkString("{", ",", "}")
     def summaryJson(scaling: String): String =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,""" +
+        s""""query_steal":$st,"query_attempts":$at,""" +
         s""""join_output_rows_per_sec":$headThroughput,"cpus":$cpus,"sf":"$sfDir"$scaling}"""
     def writeSummary(scaling: String): Unit =
       try java.nio.file.Files.writeString(
@@ -223,14 +272,6 @@ object Bench {
       //   - keep the fastest CLEAN attempt per level (host noise is strictly
       //     one-sided: it only slows runs down).
       //   - a wall-clock budget bounds the whole study.
-      def cpuStat(): (Long, Long) =
-        try {
-          val src = scala.io.Source.fromFile("/proc/stat")
-          try {
-            val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-            (f(7), f.sum)
-          } finally src.close()
-        } catch { case _: Throwable => (0L, 1L) }
       def measuredOnce(cpus: Int): (Long, Double, Double, Double) = {
         val javaBin = s"${System.getProperty("java.home")}/bin/java"
         val jvmArgs = java.lang.management.ManagementFactory
@@ -260,15 +301,18 @@ object Bench {
       // the 6%+ storms that actually corrupt timings.
       val stealMax = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "0.04").toDouble
       val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
-      // sized so the schedule ends after 1 lo + 2 hi in the typical case
-      // (~23 min; a second lo attempt adds ~16 min and can only LOWER the
-      // reported efficiency — lo slowness raises it, so one lo sample is
-      // the conservative choice). The hi floor below guarantees the second
-      // hi attempt even over budget: the asymmetric gate risk is a bad
-      // window hitting the only hi attempt (observed — one bus-degraded hi
-      // read 412s vs 215s typical, dram probe 1376/s vs ~2100 healthy, and
-      // a tight budget left no retry).
-      val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "1300").toDouble
+      // SYMMETRIC attempt floors (ADVICE.md r02, medium): the r02 shape —
+      // best-of-2 hi vs best-of-1 lo — let noise only HELP the reported
+      // efficiency (a noisy-slow single lo raises the very ratio the >=0.8
+      // gate is judged on, and r02 recorded a physically implausible 1.056
+      // from exactly that asymmetry). Both levels now get TWO guaranteed
+      // attempts even over budget, the per-level pick (fastest clean) is
+      // symmetric, and the median-of-clean efficiency is reported alongside
+      // the best-of efficiency. Budget sized for the full 2 lo + 2 hi
+      // schedule at 1B points (~2x17 + 2x4 min) plus slack; the bench JSON
+      // is (re)written after every attempt, so a hard kill mid-study still
+      // leaves the latest complete lo/hi evidence on disk.
+      val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "2700").toDouble
       final case class Attempt(cpus: Int, rows: Long, sec: Double, steal: Double,
                                dram: Double, flops: Double) {
         def clean: Boolean = steal <= stealMax
@@ -290,21 +334,55 @@ object Bench {
             f"dram=$dram%.0f/s flops=$flops%.0f/s elapsed=${elapsed}%.0fs")
         a
       }
+      // per-level pick = fastest CLEAN attempt (host noise is strictly
+      // one-sided — it only slows runs down — and with symmetric floors the
+      // min is taken over the same attempt count on both sides)
+      def pick(cpus: Int): Attempt = {
+        val mine = attempts.filter(_.cpus == cpus).toSeq
+        require(mine.nonEmpty, s"no scaling attempt completed for cpus=$cpus")
+        val clean = mine.filter(_.clean)
+        (if (clean.nonEmpty) clean else mine).minBy(_.sec)
+      }
+      def medianThr(cpus: Int): Double = {
+        val mine = attempts.filter(_.cpus == cpus).toSeq
+        val pool = { val c = mine.filter(_.clean); if (c.nonEmpty) c else mine }
+        val s = pool.map(_.thr).sorted
+        if (s.isEmpty) 0.0
+        else if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      def scalingJsonStr(partial: Boolean): String = {
+        val bestLo = pick(cpusLo)
+        val bestHi = pick(cpusHi)
+        val eff = (bestHi.thr / bestLo.thr) / (cpusHi.toDouble / cpusLo)
+        val effMed = (medianThr(cpusHi) / medianThr(cpusLo)) / (cpusHi.toDouble / cpusLo)
+        val attemptsJson = attempts.map(a =>
+          f"""{"cpus":${a.cpus},"sec":${a.sec}%.3f,"steal":${a.steal}%.4f,"clean":${a.clean},"dram":${a.dram}%.1f,"flops":${a.flops}%.1f}""")
+          .mkString("[", ",", "]")
+        // host ceilings at the BEST attempt per level: what streaming-bound /
+        // compute-bound work could at most have scaled lo->hi in this window
+        val hostJson = f""""host":{"dram_lo":${bestLo.dram}%.1f,"dram_hi":${bestHi.dram}%.1f,"flops_lo":${bestLo.flops}%.1f,"flops_hi":${bestHi.flops}%.1f}"""
+        f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":${bestLo.sec}%.3f,"sec_hi":${bestHi.sec}%.3f,"rows_per_sec_lo":${bestLo.thr}%.1f,"rows_per_sec_hi":${bestHi.thr}%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMed%.3f,"partial":$partial,"steal_max":$stealMax,"rounds":$rounds,$hostJson,"attempts":$attemptsJson}"""
+      }
+      // persist progress after every attempt once both levels have data —
+      // a timeout/kill mid-study must not zero the round's scaling evidence
+      def checkpointScaling(): Unit =
+        if (Seq(cpusLo, cpusHi).forall(c => attempts.exists(_.cpus == c)))
+          writeSummary(scalingJsonStr(partial = true))
+
       // Fixed interleaved schedule: lo,hi / hi,lo / lo,hi / ... with NO
-      // inline dirty-retries — in this round's dry run, retrying a dirty lo
+      // inline dirty-retries — in r02's dry run, retrying a dirty lo
       // attempt immediately burned the whole budget on one level and left
       // hi unmeasured entirely. Instead: run the full schedule first (every
       // level gets its interleaved attempts), THEN spend any remaining
       // budget topping up levels that still lack a clean attempt. Each
-      // level is guaranteed its first attempt even over budget.
+      // level is guaranteed TWO attempts even over budget (symmetric floors
+      // — see the budget note above).
       val schedule = (1 to rounds).flatMap(r =>
         if (r % 2 == 0) Seq(cpusHi, cpusLo) else Seq(cpusLo, cpusHi))
       for (c <- schedule) {
-        // guaranteed floor even over budget: one lo attempt, TWO hi
-        // attempts — hi is cheap and a single bad-window hi sample is the
-        // one failure mode best-of-N cannot recover from
-        val mustRun = attempts.count(_.cpus == c) < (if (c == cpusHi) 2 else 1)
-        if (mustRun || elapsed < budgetS) attemptAt(c)
+        val mustRun = attempts.count(_.cpus == c) < 2
+        if (mustRun || elapsed < budgetS) { attemptAt(c); checkpointScaling() }
       }
       var topUps = 0
       while (topUps < 4 && elapsed < budgetS &&
@@ -313,24 +391,10 @@ object Bench {
         val dirtyLevels = Seq(cpusLo, cpusHi)
           .filter(c => !attempts.exists(a => a.cpus == c && a.clean))
         attemptAt(dirtyLevels(topUps % dirtyLevels.size))
+        checkpointScaling()
         topUps += 1
       }
-      def pick(cpus: Int): Attempt = {
-        val mine = attempts.filter(_.cpus == cpus)
-        require(mine.nonEmpty, s"no scaling attempt completed for cpus=$cpus")
-        val clean = mine.filter(_.clean)
-        (if (clean.nonEmpty) clean else mine).minBy(_.sec)
-      }
-      val bestLo = pick(cpusLo)
-      val bestHi = pick(cpusHi)
-      val eff = (bestHi.thr / bestLo.thr) / (cpusHi.toDouble / cpusLo)
-      val attemptsJson = attempts.map(a =>
-        f"""{"cpus":${a.cpus},"sec":${a.sec}%.3f,"steal":${a.steal}%.4f,"clean":${a.clean},"dram":${a.dram}%.1f,"flops":${a.flops}%.1f}""")
-        .mkString("[", ",", "]")
-      // host ceilings at the BEST attempt per level: what streaming-bound /
-      // compute-bound work could at most have scaled lo->hi in this window
-      val hostJson = f""""host":{"dram_lo":${bestLo.dram}%.1f,"dram_hi":${bestHi.dram}%.1f,"flops_lo":${bestLo.flops}%.1f,"flops_hi":${bestHi.flops}%.1f}"""
-      f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":${bestLo.sec}%.3f,"sec_hi":${bestHi.sec}%.3f,"rows_per_sec_lo":${bestLo.thr}%.1f,"rows_per_sec_hi":${bestHi.thr}%.1f,"efficiency":$eff%.3f,"steal_max":$stealMax,"rounds":$rounds,$hostJson,"attempts":$attemptsJson}"""
+      scalingJsonStr(partial = false)
     }
 
     writeSummary(scaling)
