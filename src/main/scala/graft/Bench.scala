@@ -309,10 +309,12 @@ object Bench {
       // attempts even over budget, the per-level pick (fastest clean) is
       // symmetric, and the median-of-clean efficiency is reported alongside
       // the best-of efficiency. Budget sized for the full 2 lo + 2 hi
-      // schedule at 1B points (~2x17 + 2x4 min) plus slack; the bench JSON
-      // is (re)written after every attempt, so a hard kill mid-study still
+      // schedule at 1B points (~2x17 + 2x4 min): the budget is crossed right
+      // after the 4th floor attempt, so extra schedule rounds / top-ups only
+      // run when earlier attempts were fast or dirty. The bench JSON is
+      // (re)written after every attempt, so a hard kill mid-study still
       // leaves the latest complete lo/hi evidence on disk.
-      val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "2700").toDouble
+      val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "2200").toDouble
       final case class Attempt(cpus: Int, rows: Long, sec: Double, steal: Double,
                                dram: Double, flops: Double) {
         def clean: Boolean = steal <= stealMax

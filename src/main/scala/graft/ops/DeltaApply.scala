@@ -128,6 +128,32 @@ object DeltaApply {
       keyCol, cols)
   }
 
+  /**
+   * The Iceberg `MERGE INTO` statement that [[applyChangeBatch]]'s set
+   * algebra stands in for — emitted as SQL text so the jar-drop migration is
+   * one call site: with Iceberg on the classpath, register the compacted
+   * batch as a temp view and run this statement against the geometry table
+   * instead of rewriting the snapshot (SURVEY.md §7 "Iceberg availability"
+   * risk; VERDICT.md r02 missing #4). Clause order encodes the same
+   * semantics applyChangeBatch implements and MergeSqlSpec cross-checks:
+   * matched deletes win, matched non-deletes update every value column,
+   * unmatched non-deletes insert (the modify->create reclassification,
+   * reference: src/osm/NodeHandler.cpp:70-76); unmatched deletes fall
+   * through — idempotent DELETE.
+   */
+  def mergeIntoSql(targetTable: String, sourceView: String, keyCol: String,
+                   valueCols: Seq[String]): String = {
+    val sets = valueCols.map(c => s"t.$c = s.$c").mkString(", ")
+    val ins = (keyCol +: valueCols).mkString(", ")
+    val insVals = (keyCol +: valueCols).map(c => s"s.$c").mkString(", ")
+    s"""MERGE INTO $targetTable t
+       |USING $sourceView s
+       |ON t.$keyCol = s.$keyCol
+       |WHEN MATCHED AND s.action = 'delete' THEN DELETE
+       |WHEN MATCHED THEN UPDATE SET $sets
+       |WHEN NOT MATCHED AND s.action <> 'delete' THEN INSERT ($ins) VALUES ($insVals)""".stripMargin
+  }
+
   /** Expected-counts cross-check, mirroring the reference's QLever
    * insert/delete accounting (reference: src/osm/StatisticsHandler.cpp:134-152,
    * OsmChangeHandler.cpp:414-418). Returns (deletedRows, upsertedRows). */
