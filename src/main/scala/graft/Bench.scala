@@ -272,7 +272,7 @@ object Bench {
       //   - keep the fastest CLEAN attempt per level (host noise is strictly
       //     one-sided: it only slows runs down).
       //   - a wall-clock budget bounds the whole study.
-      def measuredOnce(cpus: Int): (Long, Double, Double, Double) = {
+      def measuredOnce(cpus: Int, points: Long = scalePoints): (Long, Double, Double, Double) = {
         val javaBin = s"${System.getProperty("java.home")}/bin/java"
         val jvmArgs = java.lang.management.ManagementFactory
           .getRuntimeMXBean.getInputArguments
@@ -283,6 +283,7 @@ object Bench {
         cmd.add("graft.Bench")
         val pb = new ProcessBuilder(cmd)
         pb.environment().put("SPARK_GRAFT_SCALING_CHILD", cpus.toString)
+        pb.environment().put("SPARK_GRAFT_SCALE_POINTS", points.toString)
         pb.redirectErrorStream(false)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val p = pb.start()
@@ -323,6 +324,8 @@ object Bench {
       val t0 = System.nanoTime()
       def elapsed = (System.nanoTime() - t0) / 1e9
       val attempts = scala.collection.mutable.ArrayBuffer.empty[Attempt]
+      // second pair exhibit (VERDICT.md r02 #8b) — filled in after the study
+      var altJson = ""
       def attemptAt(cpus: Int): Attempt = {
         val (st0, tot0) = cpuStat()
         val (rows, sec, dram, flops) = measuredOnce(cpus)
@@ -364,7 +367,7 @@ object Bench {
         // host ceilings at the BEST attempt per level: what streaming-bound /
         // compute-bound work could at most have scaled lo->hi in this window
         val hostJson = f""""host":{"dram_lo":${bestLo.dram}%.1f,"dram_hi":${bestHi.dram}%.1f,"flops_lo":${bestLo.flops}%.1f,"flops_hi":${bestHi.flops}%.1f}"""
-        f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":${bestLo.sec}%.3f,"sec_hi":${bestHi.sec}%.3f,"rows_per_sec_lo":${bestLo.thr}%.1f,"rows_per_sec_hi":${bestHi.thr}%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMed%.3f,"partial":$partial,"steal_max":$stealMax,"rounds":$rounds,$hostJson,"attempts":$attemptsJson}"""
+        f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":${bestLo.sec}%.3f,"sec_hi":${bestHi.sec}%.3f,"rows_per_sec_lo":${bestLo.thr}%.1f,"rows_per_sec_hi":${bestHi.thr}%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMed%.3f,"partial":$partial,"steal_max":$stealMax,"rounds":$rounds,$hostJson,"attempts":$attemptsJson}$altJson"""
       }
       // persist progress after every attempt once both levels have data —
       // a timeout/kill mid-study must not zero the round's scaling evidence
@@ -395,6 +398,65 @@ object Bench {
         attemptAt(dirtyLevels(topUps % dirtyLevels.size))
         checkpointScaling()
         topUps += 1
+      }
+
+      // ---- second pair exhibit (VERDICT.md r02 #8b): the bus-limited
+      // (4,16) pair recorded IN the JSON with its own host probes, so a
+      // reader sees the DRAM-bus-ceiling story (why the gate pair is (2,8))
+      // from the evidence itself rather than BASELINE.md prose. Runs at a
+      // reduced point count (default scalePoints/4) to fit the leftover
+      // budget; 2 attempts per level, interleaved, same clean/pick rules.
+      // This block is an EXHIBIT, not the gate metric — it is emitted under
+      // a separate "scaling_alt" key and never feeds "efficiency".
+      // The main study's symmetric floors alone can cross budgetS (2 lo
+      // attempts at 1B points are ~17 min each), so the exhibit gets a small
+      // GRACE window of its own: its 2 floor attempts (~4 min at points/4)
+      // run if the study finished within budget+grace; its top-up attempts
+      // only on leftover main budget. The partial-scaling checkpoint is
+      // already on disk before this block, so a driver kill mid-exhibit
+      // loses only the exhibit.
+      val doAlt = sys.env.getOrElse("SPARK_GRAFT_SCALING_ALT", "1") != "0"
+      val altGraceS = sys.env.getOrElse("SPARK_GRAFT_SCALING_ALT_GRACE_S", "420").toDouble
+      if (doAlt && elapsed < budgetS + altGraceS) {
+        val (altLo, altHi) = sys.env.get("SPARK_GRAFT_SCALING_CPUS_ALT") match {
+          case Some(s) => val Array(l, h) = s.split(","); (l.trim.toInt, h.trim.toInt)
+          case None => (math.max(1, cpus / 8), math.max(2, cpus / 2))
+        }
+        val altPoints =
+          sys.env.get("SPARK_GRAFT_SCALE_POINTS_ALT").map(_.toLong)
+            .getOrElse(scalePoints / 4)
+        val alt = scala.collection.mutable.ArrayBuffer.empty[Attempt]
+        def altAttempt(c: Int): Unit = {
+          val (st0, tot0) = cpuStat()
+          val (rows, sec, dram, flops) = measuredOnce(c, altPoints)
+          val (st1, tot1) = cpuStat()
+          val steal = (st1 - st0).toDouble / math.max(1L, tot1 - tot0)
+          alt += Attempt(c, rows, sec, steal, dram, flops)
+          System.err.println(
+            f"[bench] scaling_alt cpus=$c sec=$sec%.2f host_steal=${steal * 100}%.1f%% " +
+              f"dram=$dram%.0f/s flops=$flops%.0f/s elapsed=${elapsed}%.0fs")
+        }
+        try {
+          // symmetric floors here too: both levels get their first attempt
+          // unconditionally, second attempts only inside the budget
+          Seq(altLo, altHi, altHi, altLo).zipWithIndex.foreach { case (c, i) =>
+            if (i < 2 || elapsed < budgetS) altAttempt(c)
+          }
+          def bestOf(c: Int): Attempt = {
+            val mine = alt.filter(_.cpus == c).toSeq
+            val clean = mine.filter(_.clean)
+            (if (clean.nonEmpty) clean else mine).minBy(_.sec)
+          }
+          val (bl, bh) = (bestOf(altLo), bestOf(altHi))
+          val effA = (bh.thr / bl.thr) / (altHi.toDouble / altLo)
+          val attemptsJ = alt.map(a =>
+            f"""{"cpus":${a.cpus},"sec":${a.sec}%.3f,"steal":${a.steal}%.4f,"clean":${a.clean},"dram":${a.dram}%.1f,"flops":${a.flops}%.1f}""")
+            .mkString("[", ",", "]")
+          altJson =
+            f""","scaling_alt":{"points":$altPoints,"cpus_lo":$altLo,"cpus_hi":$altHi,"sec_lo":${bl.sec}%.3f,"sec_hi":${bh.sec}%.3f,"rows_per_sec_lo":${bl.thr}%.1f,"rows_per_sec_hi":${bh.thr}%.1f,"efficiency":$effA%.3f,"host":{"dram_lo":${bl.dram}%.1f,"dram_hi":${bh.dram}%.1f,"flops_lo":${bl.flops}%.1f,"flops_hi":${bh.flops}%.1f},"attempts":$attemptsJ,"note":"bus-ceiling exhibit at (cpus/8,cpus/2): the shared-DRAM host caps scan-shaped scaling at this pair; the gate metric is the uncontended (cpus/16,cpus/4) pair above"}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] scaling_alt failed (non-fatal): $e")
+        }
       }
       scalingJsonStr(partial = false)
     }

@@ -224,7 +224,7 @@ object SparkEntry {
     // oracle gate, not just CheckpointSpec ---
     "s8_lineage" -> ((s, dir) => {
       prep(s, dir)
-      val tag = Integer.toHexString(dir.hashCode)
+      val tag = dir.replaceAll("[^A-Za-z0-9_]", "_")
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_s8_store_$tag"
       // fresh store every run: resume-from-watermark is CheckpointSpec's
       // job; this query oracles WHAT the committed lineage describes
@@ -251,7 +251,7 @@ object SparkEntry {
     // path itself is under the DuckDB gate, not just a spec ---
     "s27_stream_tile_counts" -> ((s, dir) => {
       prep(s, dir)
-      val tag = Integer.toHexString(dir.hashCode)
+      val tag = dir.replaceAll("[^A-Za-z0-9_]", "_")
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_$tag"
       // watermarks require TIMESTAMP (ltz); the parquet round-trip yields
       // TIMESTAMP_NTZ — cast under the session's UTC zone (lossless)

@@ -242,10 +242,16 @@ object SpatialJoins {
     // measured job time 2x between identical runs); the aggregate's
     // map-side partial combine ships <= stacks x k longs through the
     // exchange and sorts nothing.
-    def stackDedup(rows: DataFrame): DataFrame = rows
-      .groupBy(col("lon"), col("lat"))
-      .agg(topk_min(col("pid"), k).as("__pids"))
-      .select(explode(col("__pids")).as("pid"), col("lon"), col("lat"))
+    def stackDedup(rows: DataFrame): DataFrame = {
+      // narrows to exactly (pid, lon, lat); fail loudly on any wider input
+      // rather than silently dropping columns (ADVICE.md r02)
+      require(rows.columns.sorted.sameElements(Array("lat", "lon", "pid")),
+        s"stackDedup expects exactly (pid, lon, lat), got ${rows.columns.mkString(",")}")
+      rows
+        .groupBy(col("lon"), col("lat"))
+        .agg(topk_min(col("pid"), k).as("__pids"))
+        .select(explode(col("__pids")).as("pid"), col("lon"), col("lat"))
+    }
     val (targetsD, levelCounts) = if (fineLevels.isEmpty) {
       // degenerate ladder (all levels coarser than the collapse bound):
       // global dedup + direct rollup, the r01 shape — safe because the
@@ -309,7 +315,8 @@ object SpatialJoins {
       val withC = targets.withColumn("ccell",
         cell_encode(col("lon"), col("lat"), lit(lc)))
       val hotD = tt("hotD")(stackDedup(
-          withC.join(broadcast(refinable), Seq("ccell"), "left_semi"))
+          withC.join(broadcast(refinable), Seq("ccell"), "left_semi")
+            .drop("ccell"))
         .localCheckpoint())
       // cold side stays LAZY: a rescan + broadcast anti-join per consumer
       // costs no shuffle, vs materializing |targets| rows
