@@ -208,11 +208,21 @@ object Bench {
             f"steal=${a.steal * 100}%.1f%%")
           a
         }
+        // EVERY query gets two attempts, not just headline ones: the first
+        // pays whole-stage-codegen compilation (measured 5-13x the warm
+        // execution for the short corpus queries — e.g. dedup_minhash_lsh
+        // 8.96 s cold vs 1.2 s warm in a fresh JVM), which at warehouse
+        // scale is fixed overhead amortized to zero, not operator cost.
+        // min-of-attempts charges execution; the JSON records every attempt
+        // so the compile-vs-run split stays visible. A third attempt only
+        // when both readings are dirty/failed (storm discipline unchanged —
+        // retry keys on measured steal, never on the result).
         val a1 = attempt()
+        val a2 = attempt()
         val attempts =
-          if (headline.contains(name)) Seq(a1, attempt())
-          else if (a1.rows < 0 || a1.steal > suiteStealMax) Seq(a1, attempt())
-          else Seq(a1)
+          if (Seq(a1, a2).forall(a => a.rows < 0 || a.steal > suiteStealMax))
+            Seq(a1, a2, attempt())
+          else Seq(a1, a2)
         spark.sparkContext.getPersistentRDDs
           .filterNot { case (id, _) => keepIds(id) }.values.foreach(_.unpersist(false))
         name -> attempts

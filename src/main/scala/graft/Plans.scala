@@ -18,9 +18,34 @@ import org.apache.spark.sql.SparkSession
  */
 object Plans {
 
-  /** Plan smells worth flagging inline in the dump. */
-  private val smells = Seq(
-    "BroadcastNestedLoopJoin", "CartesianProduct")
+  import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: nodes(a.inputPlan)
+    case _ => p +: p.children.flatMap(nodes)
+  }
+
+  /** True when every leaf of the subtree is a literal VALUES table — a
+   * cross join against one is bounded fixture/constant synthesis (e.g. the
+   * multipolygon segment definitions crossed with `nation`), not a
+   * data×data product. */
+  private def literalOnly(p: SparkPlan): Boolean = {
+    val ls = nodes(p).filter(n =>
+      n.children.isEmpty && !n.isInstanceOf[AdaptiveSparkPlanExec])
+    ls.nonEmpty && ls.forall(_.isInstanceOf[LocalTableScanExec])
+  }
+
+  /** Plan smells worth flagging inline in the dump: nested-loop / cartesian
+   * products where BOTH sides are data-sized (a literal-VALUES side means
+   * the product is bounded by the literal's row count). */
+  private def smellsOf(plan: SparkPlan): Seq[String] = nodes(plan).collect {
+    case j: BroadcastNestedLoopJoinExec
+      if !Seq(j.left, j.right).exists(literalOnly) => "BroadcastNestedLoopJoin"
+    case c: CartesianProductExec
+      if !Seq(c.left, c.right).exists(literalOnly) => "CartesianProduct"
+  }.distinct
 
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("PLANS.md")
@@ -40,18 +65,19 @@ object Plans {
     val sb = new StringBuilder
     sb.append(s"# Physical plans (`explain formatted`), input=$sfDir\n\n")
     sb.append("Regenerate: `sbt \"runMain graft.Plans PLANS.md\"`. Smells ")
-    sb.append(s"flagged inline: ${smells.mkString(", ")}.\n")
+    sb.append("flagged inline: BroadcastNestedLoopJoin, CartesianProduct — ")
+    sb.append("except against literal VALUES tables (bounded fixture synthesis).\n")
     names.foreach { name =>
       val keepIds = spark.sparkContext.getPersistentRDDs.keySet
-      val plan =
+      val (plan, flagged) =
         try {
           val df = SparkEntry.queries(name)(spark, sfDir)
-          df.queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode)
-        } catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+          (df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode),
+            smellsOf(df.queryExecution.executedPlan))
+        } catch { case e: Throwable => (s"ERROR: ${e.getMessage}", Seq.empty[String]) }
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => keepIds(id) }.values.foreach(_.unpersist(false))
-      val flagged = smells.filter(plan.contains)
       val flag = if (flagged.isEmpty) "" else s"  ⚠ ${flagged.mkString(", ")}"
       sb.append(s"\n## $name$flag\n\n```\n$plan```\n")
       System.err.println(s"[plans] $name${if (flagged.nonEmpty) s" SMELL: $flagged" else ""}")
