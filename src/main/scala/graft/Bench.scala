@@ -366,18 +366,71 @@ object Bench {
         else if (s.size % 2 == 1) s(s.size / 2)
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
+      // TEMPORALLY-ADJACENT pairing: the north rule's two-cluster-size
+      // comparison presumes comparable conditions, and on this shared host
+      // only adjacent runs are comparable — the study's own per-attempt
+      // probes measured the host's compute ceiling collapsing 2.6x WITHIN
+      // one study (flops 255/s vs 588/s at the same 2 threads, steal ~0 —
+      // frequency/neighbor effects steal doesn't see). Pairing the globally
+      // fastest lo with the globally fastest hi compares different hosts in
+      // all but name (r02's cross-window pairing produced a physically
+      // implausible 1.056; tonight's produced 0.72 from a lo and a hi that
+      // never shared a window). A ROUND = two consecutive attempts at
+      // opposite levels — exactly what the interleaved schedule emits,
+      // alternating order so neither level systematically gets the fresher
+      // slot. Round efficiency is two-sided w.r.t. noise (a slow lo
+      // inflates, a slow hi deflates), so alongside the best clean round
+      // the JSON carries the median over clean rounds, every round, and
+      // every attempt — and the legacy cross-window best-of number for
+      // continuity with r01/r02.
+      def pairedRounds: Seq[(Attempt, Attempt)] = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[(Attempt, Attempt)]
+        var i = 0
+        while (i + 1 < attempts.size) {
+          val (x, y) = (attempts(i), attempts(i + 1))
+          if (x.cpus != y.cpus) {
+            b += (if (x.cpus == cpusLo) (x, y) else (y, x)); i += 2
+          } else i += 1
+        }
+        b.toSeq
+      }
+      def roundEff(p: (Attempt, Attempt)): Double =
+        (p._2.thr / p._1.thr) / (cpusHi.toDouble / cpusLo)
       def scalingJsonStr(partial: Boolean): String = {
         val bestLo = pick(cpusLo)
         val bestHi = pick(cpusHi)
-        val eff = (bestHi.thr / bestLo.thr) / (cpusHi.toDouble / cpusLo)
-        val effMed = (medianThr(cpusHi) / medianThr(cpusLo)) / (cpusHi.toDouble / cpusLo)
+        val effAttempt = (bestHi.thr / bestLo.thr) / (cpusHi.toDouble / cpusLo)
+        val effMedAttempt = (medianThr(cpusHi) / medianThr(cpusLo)) / (cpusHi.toDouble / cpusLo)
+        val rounds0 = pairedRounds
+        val cleanRounds = {
+          val c = rounds0.filter(p => p._1.clean && p._2.clean)
+          if (c.nonEmpty) c else rounds0
+        }
+        // headline = best steal-clean round; median of clean rounds alongside
+        val (chosen, eff, effMed) =
+          if (cleanRounds.nonEmpty) {
+            val best = cleanRounds.maxBy(roundEff)
+            val effs = cleanRounds.map(roundEff).sorted
+            val med = if (effs.size % 2 == 1) effs(effs.size / 2)
+              else (effs(effs.size / 2 - 1) + effs(effs.size / 2)) / 2
+            (Some(best), roundEff(best), med)
+          } else (None, effAttempt, effMedAttempt)
+        val secLo = chosen.map(_._1.sec).getOrElse(bestLo.sec)
+        val secHi = chosen.map(_._2.sec).getOrElse(bestHi.sec)
+        val thrLo = chosen.map(_._1.thr).getOrElse(bestLo.thr)
+        val thrHi = chosen.map(_._2.thr).getOrElse(bestHi.thr)
+        val roundsJson = rounds0.map(p =>
+          f"""{"sec_lo":${p._1.sec}%.3f,"sec_hi":${p._2.sec}%.3f,"eff":${roundEff(p)}%.3f,"clean":${p._1.clean && p._2.clean}}""")
+          .mkString("[", ",", "]")
         val attemptsJson = attempts.map(a =>
           f"""{"cpus":${a.cpus},"sec":${a.sec}%.3f,"steal":${a.steal}%.4f,"clean":${a.clean},"dram":${a.dram}%.1f,"flops":${a.flops}%.1f}""")
           .mkString("[", ",", "]")
-        // host ceilings at the BEST attempt per level: what streaming-bound /
-        // compute-bound work could at most have scaled lo->hi in this window
-        val hostJson = f""""host":{"dram_lo":${bestLo.dram}%.1f,"dram_hi":${bestHi.dram}%.1f,"flops_lo":${bestLo.flops}%.1f,"flops_hi":${bestHi.flops}%.1f}"""
-        f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":${bestLo.sec}%.3f,"sec_hi":${bestHi.sec}%.3f,"rows_per_sec_lo":${bestLo.thr}%.1f,"rows_per_sec_hi":${bestHi.thr}%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMed%.3f,"partial":$partial,"steal_max":$stealMax,"rounds":$rounds,$hostJson,"attempts":$attemptsJson}$altJson"""
+        // host ceilings at the REPORTED pair's attempts: what streaming-bound
+        // / compute-bound work could at most have scaled lo->hi in that window
+        val hLo = chosen.map(_._1).getOrElse(bestLo)
+        val hHi = chosen.map(_._2).getOrElse(bestHi)
+        val hostJson = f""""host":{"dram_lo":${hLo.dram}%.1f,"dram_hi":${hHi.dram}%.1f,"flops_lo":${hLo.flops}%.1f,"flops_hi":${hHi.flops}%.1f}"""
+        f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":$secLo%.3f,"sec_hi":$secHi%.3f,"rows_per_sec_lo":$thrLo%.1f,"rows_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMed%.3f,"efficiency_bestattempt":$effAttempt%.3f,"efficiency_median_bestattempt":$effMedAttempt%.3f,"rounds_paired":$roundsJson,"partial":$partial,"steal_max":$stealMax,"rounds":$rounds,$hostJson,"attempts":$attemptsJson}$altJson"""
       }
       // persist progress after every attempt once both levels have data —
       // a timeout/kill mid-study must not zero the round's scaling evidence
@@ -426,7 +479,12 @@ object Bench {
       // already on disk before this block, so a driver kill mid-exhibit
       // loses only the exhibit.
       val doAlt = sys.env.getOrElse("SPARK_GRAFT_SCALING_ALT", "1") != "0"
-      val altGraceS = sys.env.getOrElse("SPARK_GRAFT_SCALING_ALT_GRACE_S", "420").toDouble
+      // grace sized for a degraded-bus window: the 4 floor attempts at 1B
+      // points run ~42 min in a good window but ~55 in a slow one, and the
+      // exhibit's own 2 floor attempts are only ~5 min at points/4 — a
+      // tight grace would drop the exhibit exactly when the window is most
+      // worth documenting
+      val altGraceS = sys.env.getOrElse("SPARK_GRAFT_SCALING_ALT_GRACE_S", "1500").toDouble
       if (doAlt && elapsed < budgetS + altGraceS) {
         val (altLo, altHi) = sys.env.get("SPARK_GRAFT_SCALING_CPUS_ALT") match {
           case Some(s) => val Array(l, h) = s.split(","); (l.trim.toInt, h.trim.toInt)
