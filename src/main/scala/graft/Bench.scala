@@ -62,6 +62,30 @@ object Bench {
 
   /** (steal ticks, total ticks) from /proc/stat — the host-noise probe both
    * the scaling study and the suite key their retries on. */
+  /** Spawn a fresh graft.Bench child JVM (same JVM args + classpath) with
+   * extra env, return (exit code, stdout lines). Fresh JVMs are the unit of
+   * measurement everywhere in Bench: a long-lived session accumulates
+   * codegen classloaders that degrade JIT state (measured 1.7-4x slowdowns
+   * on queries run 20+ plans into one session), and separate JVMs are the
+   * honest analogue of separate spark-submit runs. */
+  private def spawnChild(env: Map[String, String]): (Int, List[String]) = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    jvmArgs.forEach(a => cmd.add(a))
+    cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+    cmd.add("graft.Bench")
+    val pb = new ProcessBuilder(cmd)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+    (p.waitFor(), out)
+  }
+
   private def cpuStat(): (Long, Long) =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
@@ -161,25 +185,83 @@ object Bench {
       return
     }
 
+    // suite child mode: ONE query, fresh JVM — benchPrepare untimed, two
+    // attempts (first doubles as this plan's codegen warmup), a third only
+    // when both are dirty/failed. Attempts stream to stdout for the parent.
+    sys.env.get("SPARK_GRAFT_SUITE_CHILD").foreach { name =>
+      val stealMaxC = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "0.04").toDouble
+      withSession(cpus) { spark =>
+        try SparkEntry.benchPrepare.get(name).foreach(p => p(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name prepare failed: ${e.getMessage}") }
+        def attempt(): (Double, Long, Double) = {
+          val (s0, t0) = cpuStat()
+          val (rows, sec) =
+            try time(SparkEntry.queries(name)(spark, sfDir).count())
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); (-1L, -1.0) }
+          val (s1, t1) = cpuStat()
+          (sec, rows, (s1 - s0).toDouble / math.max(1L, t1 - t0))
+        }
+        val a1 = attempt(); val a2 = attempt()
+        val all =
+          if (Seq(a1, a2).forall(a => a._2 < 0 || a._3 > stealMaxC))
+            Seq(a1, a2, attempt())
+          else Seq(a1, a2)
+        all.foreach { case (sec, rows, steal) =>
+          println(f"SUITE_ATTEMPT $sec%.6f $rows $steal%.6f") }
+      }
+      return
+    }
+
     // ---- part 1: sf-dir suite (skip with SPARK_GRAFT_SUITE=0).
     // Storm-robustness (VERDICT.md r02 #1): the r02 driver window charged
     // pip_join 48.6 s for a query that runs in 7.2 s locally on identical
     // code — this host's minute-scale steal/bus storms make any SINGLE
     // timing a coin flip. Same discipline as the scaling study now:
-    //  - per-attempt /proc/stat steal measured and recorded per query;
-    //  - HEADLINE queries always run twice (unconditional best-of-2 — not
-    //    conditioned on the result, so it cannot bias the metric);
-    //  - secondary queries retry once only when the attempt was DIRTY
-    //    (steal above SPARK_GRAFT_STEAL_MAX — again, keyed on measured
-    //    environment noise, never on the measured time).
+    //  - one fresh child JVM per query (see spawnChild — a shared session
+    //    charges late queries for the session's accumulated codegen, not
+    //    their plan);
+    //  - EVERY query runs twice, first attempt = that plan's codegen
+    //    warmup, min-of-attempts picked, all attempts recorded;
+    //  - per-attempt /proc/stat steal measured and recorded per query; a
+    //    third attempt only when both were DIRTY (steal above
+    //    SPARK_GRAFT_STEAL_MAX — keyed on measured environment noise,
+    //    never on the measured time).
     // Best attempt per query = fastest non-failed (host noise is strictly
     // one-sided: it only slows runs down).
     val doSuite = sys.env.getOrElse("SPARK_GRAFT_SUITE", "1") != "0"
+    // Default: one fresh child JVM per query (same unit of measurement as
+    // the scaling study). Measured in-process: queries run 20+ plans into
+    // one session read 1.7-4x their fresh-JVM warm time (knn_join_indexed
+    // 11.2 s late-session vs 2.8 s fresh; accumulated codegen classloaders
+    // degrade JIT state) — i.e. the old suite charged late queries for the
+    // session's history, not their plan. SPARK_GRAFT_SUITE_FRESH_JVM=0
+    // restores the shared-session path.
+    val freshJvm = sys.env.getOrElse("SPARK_GRAFT_SUITE_FRESH_JVM", "1") != "0"
     val suiteStealMax = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "0.04").toDouble
     val names = if (!doSuite) Seq.empty
       else (headline ++ secondary).filter(SparkEntry.queries.contains)
     final case class QAttempt(sec: Double, rows: Long, steal: Double)
     val results = if (!doSuite) Seq.empty[(String, Seq[QAttempt])]
+    else if (freshJvm) names.map { name =>
+      val (rc, out) = spawnChild(Map(
+        "SPARK_GRAFT_SUITE_CHILD" -> name,
+        "SPARK_GRAFT_SF_DIR" -> sfDir,
+        "SPARK_GRAFT_CPUS" -> cpus.toString))
+      val attempts = out.collect { case l if l.startsWith("SUITE_ATTEMPT ") =>
+        val f = l.split(" "); QAttempt(f(1).toDouble, f(2).toLong, f(3).toDouble)
+      }
+      val as =
+        if (attempts.nonEmpty) attempts
+        else {
+          System.err.println(s"[bench] $name child produced no attempts, rc=$rc")
+          Seq(QAttempt(-1.0, -1L, 0.0))
+        }
+      as.foreach(a => System.err.println(
+        f"[bench] $name%-22s ${a.sec}%8.2f s  ${a.rows}%10d rows steal=${a.steal * 100}%.1f%%"))
+      name -> as
+    }
     else withSession(cpus) { spark =>
       // JIT/codegen warmup so the first timed query isn't charged for
       // cold compilation (same discipline as the scaling study)
@@ -283,22 +365,9 @@ object Bench {
       //     one-sided: it only slows runs down).
       //   - a wall-clock budget bounds the whole study.
       def measuredOnce(cpus: Int, points: Long = scalePoints): (Long, Double, Double, Double) = {
-        val javaBin = s"${System.getProperty("java.home")}/bin/java"
-        val jvmArgs = java.lang.management.ManagementFactory
-          .getRuntimeMXBean.getInputArguments
-        val cmd = new java.util.ArrayList[String]()
-        cmd.add(javaBin)
-        jvmArgs.forEach(a => cmd.add(a))
-        cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
-        cmd.add("graft.Bench")
-        val pb = new ProcessBuilder(cmd)
-        pb.environment().put("SPARK_GRAFT_SCALING_CHILD", cpus.toString)
-        pb.environment().put("SPARK_GRAFT_SCALE_POINTS", points.toString)
-        pb.redirectErrorStream(false)
-        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-        val p = pb.start()
-        val outLines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
-        val rc = p.waitFor()
+        val (rc, outLines) = spawnChild(Map(
+          "SPARK_GRAFT_SCALING_CHILD" -> cpus.toString,
+          "SPARK_GRAFT_SCALE_POINTS" -> points.toString))
         outLines.collectFirst {
           case l if l.startsWith("SCALING_CHILD ") =>
             val f = l.split(" ")
