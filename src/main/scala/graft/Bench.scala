@@ -26,10 +26,13 @@ object Bench {
   /** headline = the BASELINE.json metric suite; secondary = coverage. */
   val headline = Seq("pip_join", "knn_join", "tile_assign", "tile_join", "tile_histogram")
   val secondary = Seq("tile_assign_ranged", "cell_index", "o1_dedup_latest", "j3_dirty_ways", "way_geoms",
-    "merge_upsert", "dedup_minhash_lsh", "dedup_clusters", "simhash_sig",
+    "merge_upsert", "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_clusters", "simhash_sig",
     "doc_fingerprint", "ann_lsh_topk", "ann_topk", "ann_ivf_topk",
+    "embed_near_dup", "srp_near_dup",
     "knn_join_indexed", "contamination", "vocab_topk", "curate_corpus",
-    "text_quality", "media_decode", "span_fingerprint")
+    "text_quality", "lang_id", "media_decode", "span_fingerprint",
+    "rel_polygons_stitched", "s27_stream_tile_counts", "s19_stream_dedup")
 
   private def withSession[T](cpus: Int)(f: SparkSession => T): T = {
     val spark = SparkSession.builder()

@@ -260,6 +260,7 @@ object SparkEntry {
       src.write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(src.schema).parquet(tmp)
       val qn = s"s27_mem_$tag"
+      s.catalog.dropTempView(qn) // re-runnable within one session (Bench attempts)
       val q = graft.streaming.ChangeStream.tileCounts(stream, z = 6)
         .writeStream.outputMode("complete").format("memory").queryName(qn)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -288,6 +289,7 @@ object SparkEntry {
       val stream = s.readStream.schema(src.schema).parquet(tmp)
         .as[graft.streaming.CorpusStream.StreamDoc]
       val qn = s"s19_mem_$tag"
+      s.catalog.dropTempView(qn) // re-runnable within one session (Bench attempts)
       val q = graft.streaming.CorpusStream.streamingExactDedup(stream)
         .writeStream.outputMode("append").format("memory").queryName(qn)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
