@@ -246,8 +246,44 @@ object Bench {
     val names = if (!doSuite) Seq.empty
       else (headline ++ secondary).filter(SparkEntry.queries.contains)
     final case class QAttempt(sec: Double, rows: Long, steal: Double)
-    val results = if (!doSuite) Seq.empty[(String, Seq[QAttempt])]
-    else if (freshJvm) names.map { name =>
+
+    // Emit the summary BOTH as a plain stdout line and as a file: the round
+    // driver's machine gate failed to parse r01's line when sbt's logger
+    // prefixed it ("parsed": null in BENCH_r01.json). The file is immune to
+    // any log-prefix plumbing, and it is (re)written after EVERY completed
+    // suite query and after every scaling attempt — a driver timeout at any
+    // minute leaves the evidence gathered up to that minute on disk.
+    val benchOutPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    def best(as: Seq[QAttempt]): QAttempt = {
+      val ok = as.filter(_.rows >= 0)
+      if (ok.nonEmpty) ok.minBy(_.sec) else as.head
+    }
+    def suiteJson(results: Seq[(String, Seq[QAttempt])], scaling: String): String = {
+      val picked = results.map { case (n, as) => n -> best(as) }
+      val total = picked.map(_._2.sec).filter(_ >= 0).sum
+      val headRows = picked.filter(r => headline.contains(r._1)).map(_._2.rows).filter(_ >= 0).sum
+      val headSec = picked.filter(r => headline.contains(r._1)).map(_._2.sec).filter(_ >= 0).sum
+      val headThroughput = if (headSec > 0) headRows / headSec else 0.0
+      val qs = picked.map { case (k, a) => s""""$k":${a.sec}""" }.mkString("{", ",", "}")
+      val rs = picked.map { case (k, a) => s""""$k":${a.rows}""" }.mkString("{", ",", "}")
+      // per-query evidence: steal of the picked attempt + every attempt's
+      // (sec, steal), so an anomalous reading is attributable in the JSON
+      val st = picked.map { case (k, a) => f""""$k":${a.steal}%.4f""" }.mkString("{", ",", "}")
+      val at = results.map { case (k, as) =>
+        s""""$k":[${as.map(a => f"""{"sec":${a.sec}%.3f,"steal":${a.steal}%.4f}""").mkString(",")}]"""
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,""" +
+        s""""query_steal":$st,"query_attempts":$at,""" +
+        s""""join_output_rows_per_sec":$headThroughput,"cpus":$cpus,"sf":"$sfDir"$scaling}"""
+    }
+    val resultsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[QAttempt])]
+    def writeJson(s: String): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(benchOutPath), s + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] write $benchOutPath failed: $e") }
+    def writePartialSuite(): Unit = writeJson(suiteJson(resultsBuf.toSeq, ""))
+
+    if (doSuite && freshJvm) names.foreach { name =>
       val (rc, out) = spawnChild(Map(
         "SPARK_GRAFT_SUITE_CHILD" -> name,
         "SPARK_GRAFT_SF_DIR" -> sfDir,
@@ -263,15 +299,16 @@ object Bench {
         }
       as.foreach(a => System.err.println(
         f"[bench] $name%-22s ${a.sec}%8.2f s  ${a.rows}%10d rows steal=${a.steal * 100}%.1f%%"))
-      name -> as
+      resultsBuf += (name -> as)
+      writePartialSuite()
     }
-    else withSession(cpus) { spark =>
+    else if (doSuite) withSession(cpus) { spark =>
       // JIT/codegen warmup so the first timed query isn't charged for
       // cold compilation (same discipline as the scaling study)
       try scalingJob(spark, 50000)
       catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      names.map { name =>
+      names.foreach { name =>
         // unpersist only the RDDs THIS query created (operator-internal
         // localCheckpoints): a blanket unpersist would truncate the lineage
         // of any table a shared fixture may cache in the future (ADVICE.md)
@@ -310,41 +347,13 @@ object Bench {
           else Seq(a1, a2)
         spark.sparkContext.getPersistentRDDs
           .filterNot { case (id, _) => keepIds(id) }.values.foreach(_.unpersist(false))
-        name -> attempts
+        resultsBuf += (name -> attempts)
+        writePartialSuite()
       }
     }
-    def best(as: Seq[QAttempt]): QAttempt = {
-      val ok = as.filter(_.rows >= 0)
-      if (ok.nonEmpty) ok.minBy(_.sec) else as.head
-    }
-    val picked = results.map { case (n, as) => n -> best(as) }
-    val total = picked.map(_._2.sec).filter(_ >= 0).sum
-    val headRows = picked.filter(r => headline.contains(r._1)).map(_._2.rows).filter(_ >= 0).sum
-    val headSec = picked.filter(r => headline.contains(r._1)).map(_._2.sec).filter(_ >= 0).sum
-    val headThroughput = if (headSec > 0) headRows / headSec else 0.0
-
-    // Emit the summary BOTH as a plain stdout line and as a file: the round
-    // driver's machine gate failed to parse r01's line when sbt's logger
-    // prefixed it ("parsed": null in BENCH_r01.json). The file is immune to
-    // any log-prefix plumbing; it is (re)written after the suite AND after
-    // the scaling study so a timeout mid-study still leaves suite metrics.
-    val benchOutPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    val qs = picked.map { case (k, a) => s""""$k":${a.sec}""" }.mkString("{", ",", "}")
-    val rs = picked.map { case (k, a) => s""""$k":${a.rows}""" }.mkString("{", ",", "}")
-    // per-query evidence: steal of the picked attempt + every attempt's
-    // (sec, steal), so an anomalous reading is attributable in the JSON
-    val st = picked.map { case (k, a) => f""""$k":${a.steal}%.4f""" }.mkString("{", ",", "}")
-    val at = results.map { case (k, as) =>
-      s""""$k":[${as.map(a => f"""{"sec":${a.sec}%.3f,"steal":${a.steal}%.4f}""").mkString(",")}]"""
-    }.mkString("{", ",", "}")
-    def summaryJson(scaling: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,""" +
-        s""""query_steal":$st,"query_attempts":$at,""" +
-        s""""join_output_rows_per_sec":$headThroughput,"cpus":$cpus,"sf":"$sfDir"$scaling}"""
-    def writeSummary(scaling: String): Unit =
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(benchOutPath), summaryJson(scaling) + "\n")
-      catch { case e: Throwable => System.err.println(s"[bench] write $benchOutPath failed: $e") }
+    val results = resultsBuf.toSeq
+    def summaryJson(scaling: String): String = suiteJson(results, scaling)
+    def writeSummary(scaling: String): Unit = writeJson(summaryJson(scaling))
     writeSummary("")
 
     // ---- part 2: scaling study (same job, same input, lo vs hi parallelism,
@@ -468,6 +477,20 @@ object Bench {
       }
       def roundEff(p: (Attempt, Attempt)): Double =
         (p._2.thr / p._1.thr) / (cpusHi.toDouble / cpusLo)
+      // Host-ceiling-relative efficiency: the same round's speedup divided
+      // by the host's OWN measured pure-compute speedup over the same
+      // thread step (the per-child flops sweep). On this shared VM the idle
+      // 2-thread level runs at boosted clocks, so even a perfectly parallel
+      // job cannot reach 4x from 2->8 threads — the probe measured the
+      // host itself scaling only ~3.7x for 4x threads in a healthy window.
+      // A real cluster scales N->4N by adding MACHINES (each with its own
+      // clock budget and memory bus), which is why the probe-relative
+      // figure is the cluster-faithful one; the raw figure stays the
+      // headline `efficiency` and this ships alongside as evidence.
+      def roundEffHost(p: (Attempt, Attempt)): Double = {
+        val hostScale = p._2.flops / math.max(1e-9, p._1.flops)
+        (p._2.thr / p._1.thr) / math.max(1e-9, hostScale)
+      }
       def scalingJsonStr(partial: Boolean): String = {
         val bestLo = pick(cpusLo)
         val bestHi = pick(cpusHi)
@@ -492,8 +515,9 @@ object Bench {
         val thrLo = chosen.map(_._1.thr).getOrElse(bestLo.thr)
         val thrHi = chosen.map(_._2.thr).getOrElse(bestHi.thr)
         val roundsJson = rounds0.map(p =>
-          f"""{"sec_lo":${p._1.sec}%.3f,"sec_hi":${p._2.sec}%.3f,"eff":${roundEff(p)}%.3f,"clean":${p._1.clean && p._2.clean}}""")
+          f"""{"sec_lo":${p._1.sec}%.3f,"sec_hi":${p._2.sec}%.3f,"eff":${roundEff(p)}%.3f,"eff_hostrel":${roundEffHost(p)}%.3f,"clean":${p._1.clean && p._2.clean}}""")
           .mkString("[", ",", "]")
+        val effHostRel = chosen.map(roundEffHost).getOrElse(0.0)
         val attemptsJson = attempts.map(a =>
           f"""{"cpus":${a.cpus},"sec":${a.sec}%.3f,"steal":${a.steal}%.4f,"clean":${a.clean},"dram":${a.dram}%.1f,"flops":${a.flops}%.1f}""")
           .mkString("[", ",", "]")
@@ -502,7 +526,7 @@ object Bench {
         val hLo = chosen.map(_._1).getOrElse(bestLo)
         val hHi = chosen.map(_._2).getOrElse(bestHi)
         val hostJson = f""""host":{"dram_lo":${hLo.dram}%.1f,"dram_hi":${hHi.dram}%.1f,"flops_lo":${hLo.flops}%.1f,"flops_hi":${hHi.flops}%.1f}"""
-        f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":$secLo%.3f,"sec_hi":$secHi%.3f,"rows_per_sec_lo":$thrLo%.1f,"rows_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMed%.3f,"efficiency_bestattempt":$effAttempt%.3f,"efficiency_median_bestattempt":$effMedAttempt%.3f,"rounds_paired":$roundsJson,"partial":$partial,"steal_max":$stealMax,"rounds":$rounds,$hostJson,"attempts":$attemptsJson}$altJson"""
+        f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":$secLo%.3f,"sec_hi":$secHi%.3f,"rows_per_sec_lo":$thrLo%.1f,"rows_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMed%.3f,"efficiency_hostrel":$effHostRel%.3f,"efficiency_bestattempt":$effAttempt%.3f,"efficiency_median_bestattempt":$effMedAttempt%.3f,"rounds_paired":$roundsJson,"partial":$partial,"steal_max":$stealMax,"rounds":$rounds,$hostJson,"attempts":$attemptsJson}$altJson"""
       }
       // persist progress after every attempt once both levels have data —
       // a timeout/kill mid-study must not zero the round's scaling evidence
@@ -520,9 +544,16 @@ object Bench {
       // — see the budget note above).
       val schedule = (1 to rounds).flatMap(r =>
         if (r % 2 == 0) Seq(cpusHi, cpusLo) else Seq(cpusLo, cpusHi))
+      // a failed child (OOM, spawn error) must not kill the study — skip the
+      // attempt, keep the evidence gathered so far, let the floors/top-ups
+      // try again; pick() still fails loudly if a level ends with NO attempt
+      def tryAttempt(c: Int): Unit =
+        try { attemptAt(c); checkpointScaling() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] scaling attempt (cpus=$c) failed: $e") }
       for (c <- schedule) {
         val mustRun = attempts.count(_.cpus == c) < 2
-        if (mustRun || elapsed < budgetS) { attemptAt(c); checkpointScaling() }
+        if (mustRun || elapsed < budgetS) tryAttempt(c)
       }
       var topUps = 0
       while (topUps < 4 && elapsed < budgetS &&
@@ -530,8 +561,7 @@ object Bench {
         // alternate lo/hi among the levels still lacking a clean attempt
         val dirtyLevels = Seq(cpusLo, cpusHi)
           .filter(c => !attempts.exists(a => a.cpus == c && a.clean))
-        attemptAt(dirtyLevels(topUps % dirtyLevels.size))
-        checkpointScaling()
+        tryAttempt(dirtyLevels(topUps % dirtyLevels.size))
         topUps += 1
       }
 
