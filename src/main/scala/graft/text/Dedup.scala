@@ -112,7 +112,25 @@ object Dedup {
    * quadratic — the r01 registered plan, VERDICT.md). Exact intersection
    * verification then reproduces the all-pairs oracle bit-for-bit.
    * ceil() takes a 1e-9 epsilon DOWN so float noise in t*n can only
-   * lengthen a prefix (recall-safe), never shorten it.
+   * lengthen a prefix (recall-safe), never shorten it. The self-join also
+   * carries PPJoin's length filter — J >= t forces t*max(|A|,|B|) <=
+   * min(|A|,|B|) (i <= min, u >= max) — pruning size-incompatible pairs
+   * before the distinct, with the same epsilon slack on the recall side.
+   *
+   * Plan mechanics (both load-bearing, measured at sf0.1):
+   *  - The shingle table is localCheckpointed ONCE up front and feeds both
+   *    the inverted index (freq + prefix ranking) and the final verify join.
+   *    Without the barrier, Generate/Filter consumers re-inline the
+   *    interpreted shingles(tokens(text)) HOF chain and re-evaluate it per
+   *    array element — the explode alone ran 10.9 s vs 0.25 s from the
+   *    checkpoint — and the verify would tokenize the corpus a second time.
+   *    One corpus-sized materialization is the floor for ANY plan that
+   *    consumes shingles twice; it stays distributed (executor storage).
+   *  - Per-doc prefix selection is a hash aggregation (collect_list of
+   *    (df, shingle), per-row sort_array, slice) rather than a row_number
+   *    window: one exchange on doc_id with map-side partial aggregation and
+   *    NO per-partition sort of the full inverted index; the per-row sort is
+   *    bounded by the doc's own shingle count.
    *
    * `exactBaseline = true` keeps the r01 full inverted-index join as the
    * small-input oracle-of-record.
@@ -133,22 +151,37 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     }
-    val idx = shingleIndex(docs)
+    val docSh = docShingles(docs)
+      .withColumn("n", size(col("sh"))).localCheckpoint()
+    val idx = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     // global frequency order (ties by shingle text for determinism)
     val freq = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val ranked = idx.join(freq, "shingle")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
-    val withN = ranked.withColumn("n", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-    val prefixes = withN
-      .filter(col("rn") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
-      .select("doc_id", "shingle")
+    val prefixes = idx.join(freq, "shingle")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df"), col("shingle"))).as("items"))
+      .select(col("doc_id"), size(col("items")).as("n"),
+        explode(slice(sort_array(col("items")), lit(1),
+          (size(col("items")) - ceil(size(col("items")) * threshold - lit(1e-9)) + 1)
+            .cast("int"))).as("it"))
+      .select(col("doc_id"), col("n"), col("it.shingle").as("shingle"))
     val candidates = prefixes.as("a").join(prefixes.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) * threshold <=
+            least(col("a.n"), col("b.n")) + 1e-9)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    verifiedJaccardPairs(docs, candidates, threshold)
+      .distinct()
+    // exact verify straight off the checkpointed shingle arrays — no
+    // second corpus tokenization (verifiedJaccardPairs re-tokenizes
+    // candidate docs, and needs its checkpoint to stop constraint
+    // pushdown re-inlining the tokenizer; here the arrays are already
+    // materialized behind a LogicalRDD, so no barrier is required)
+    candidates
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("na")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("nb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** (doc_id, sig) minhash signatures. Two projections: shingle hashes once,
