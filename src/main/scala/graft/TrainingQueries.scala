@@ -156,6 +156,27 @@ object TrainingQueries {
     JOIN ssizes sb ON sb.doc_id = i.doc_b
     WHERE i.i / (sa.n + sb.n - i.i) >= $JaccardThreshold"""
 
+  /** HASHED distinct-shingle index (hash60 per shingle, the ngram engine
+   * path's representation — Dedup.ngramJaccardPairs carries shingles as
+   * 60-bit hashes end to end; DISTINCT here mirrors the engine's
+   * dedup-by-hash, so the two sides agree even on a hash collision). */
+  private val hshingleCtes = s"""
+    hsidx AS (SELECT DISTINCT doc_id, ${sqlHash60("shingle")} AS h
+              FROM (SELECT doc_id, unnest(${sqlShingles("toks")}) AS shingle FROM tdocs)),
+    hsizes AS (SELECT doc_id, count(*) AS n FROM hsidx GROUP BY doc_id),
+    hinter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM hsidx a JOIN hsidx b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)"""
+
+  private val hjaccardSelect = s"""
+    SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+           i.i / (sa.n + sb.n - i.i) AS jaccard
+    FROM hinter i
+    JOIN hsizes sa ON sa.doc_id = i.doc_a
+    JOIN hsizes sb ON sb.doc_id = i.doc_b
+    WHERE i.i / (sa.n + sb.n - i.i) >= $JaccardThreshold"""
+
   /** minhash signature list expression over a shingle-hash list column hs */
   private def sigExpr: String =
     "[" + (0 until NumHashes).map { j =>
@@ -327,7 +348,7 @@ object TrainingQueries {
              k.group_size, h.doc_id = k.keeper_id AS keep
       FROM h JOIN k USING (content_hash)""",
 
-    "dedup_ngram_jaccard" -> s"WITH $tdocs, $shingleCtes $jaccardSelect",
+    "dedup_ngram_jaccard" -> s"WITH $tdocs, $hshingleCtes $hjaccardSelect",
 
     "minhash_sig" -> s"""WITH $tdocs, $minhashCtes
       SELECT doc_id, array_to_string(sig, ',') AS sig FROM sigs""",

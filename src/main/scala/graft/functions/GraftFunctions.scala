@@ -53,6 +53,7 @@ object GraftFunctions {
     "char_fold_hash" -> (e => CharFoldHash(t(e(0)), l(e(1)), l(e(2)))),
     "token_hashes" -> (e => TokenHashes(e(0), l(e(1)), l(e(2)))),
     "trigram_hashes" -> (e => TrigramHashes(e(0), l(e(1)), l(e(2)))),
+    "trigram60" -> (e => Trigram60(e(0))),
     "hash60_array" -> (e => Hash60Array(e(0))),
     "minhash_sig" -> (e => MinHashSig(e(0))),
     "simhash60" -> (e => SimHash60(e(0))),
@@ -109,6 +110,7 @@ object GraftFunctions {
     call_function("token_hashes", arr, mult, mod)
   def trigram_hashes(toks: Column, mult: Column, mod: Column): Column =
     call_function("trigram_hashes", toks, mult, mod)
+  def trigram60(toks: Column): Column = call_function("trigram60", toks)
   def hash60_array(arr: Column): Column = call_function("hash60_array", arr)
   def minhash_sig(hashes: Column): Column = call_function("minhash_sig", hashes)
   def simhash60(hashes: Column): Column = call_function("simhash60", hashes)

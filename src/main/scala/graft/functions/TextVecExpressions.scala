@@ -167,6 +167,53 @@ object TextVecOps {
     }
     new GenericArrayData(out)
   }
+
+  /** DISTINCT 60-bit combined hashes of all token trigrams, sorted
+   * ascending — bit-identical to `hash60` over the materialized distinct
+   * shingle strings (TextParams.sqlHash60 reproduces it in DuckDB): both
+   * 30-bit lanes folded in one pass, no string concatenation, no shingle
+   * string arrays. Under 3 tokens: one hash over all tokens space-joined
+   * (the shingle fallback, TextParams.sqlShingles). Lets the exact
+   * n-gram-Jaccard plan carry shingles as longs end to end: set sizes and
+   * intersections over the hash sets equal those over the string sets up
+   * to 60-bit collisions, and the DuckDB oracle hashes the same way, so
+   * engine and oracle agree by construction. */
+  def trigram60(toks: ArrayData): ArrayData = {
+    import graft.text.TextParams._
+    val n = toks.numElements()
+    if (n < 3) {
+      var a1 = 0L; var a2 = 0L
+      var i = 0
+      while (i < n) {
+        if (i > 0) { a1 = (a1 * M1 + 0x20) % P1; a2 = (a2 * M2 + 0x20) % P2 }
+        val s = toks.getUTF8String(i)
+        a1 = foldOver(a1, s, M1, P1); a2 = foldOver(a2, s, M2, P2)
+        i += 1
+      }
+      return new GenericArrayData(Array(a1 | (a2 << H2Shift)))
+    }
+    val out = new Array[Long](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      var a1 = 0L; var a2 = 0L
+      var j = 0
+      while (j < 3) {
+        if (j > 0) { a1 = (a1 * M1 + 0x20) % P1; a2 = (a2 * M2 + 0x20) % P2 }
+        val s = toks.getUTF8String(i + j)
+        a1 = foldOver(a1, s, M1, P1); a2 = foldOver(a2, s, M2, P2)
+        j += 1
+      }
+      out(i) = a1 | (a2 << H2Shift)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0; var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
 }
 
 /** vec_dot(a, b) -> double; a/b array<float|double>, sequential fold. */
@@ -231,6 +278,16 @@ case class TrigramHashes(arr: Expression, mult: Expression, mod: Expression)
     TextVecOps.trigramHashes(a.asInstanceOf[ArrayData], m.asInstanceOf[Long], p.asInstanceOf[Long])
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(arr = f, mult = s, mod = t)
+}
+
+/** trigram60(toks) -> array<long>: DISTINCT sorted 60-bit trigram-shingle
+ * hashes (== hash60 of the distinct shingle strings). */
+case class Trigram60(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    TextVecOps.trigram60(a.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /** hash60_array(arr) -> array<long> (60-bit combined hash per element). */

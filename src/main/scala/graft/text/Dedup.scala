@@ -114,18 +114,26 @@ object Dedup {
    * ceil() takes a 1e-9 epsilon DOWN so float noise in t*n can only
    * lengthen a prefix (recall-safe), never shorten it. The self-join also
    * carries PPJoin's length filter — J >= t forces t*max(|A|,|B|) <=
-   * min(|A|,|B|) (i <= min, u >= max) — pruning size-incompatible pairs
-   * before the distinct, with the same epsilon slack on the recall side.
+   * min(|A|,|B|) (i <= min, u >= max) — and PPJoin's positional filter
+   * (see inline derivation), both with epsilon slack on the recall side.
    *
-   * Plan mechanics (both load-bearing, measured at sf0.1):
-   *  - The shingle table is localCheckpointed ONCE up front and feeds both
-   *    the inverted index (freq + prefix ranking) and the final verify join.
-   *    Without the barrier, Generate/Filter consumers re-inline the
-   *    interpreted shingles(tokens(text)) HOF chain and re-evaluate it per
-   *    array element — the explode alone ran 10.9 s vs 0.25 s from the
-   *    checkpoint — and the verify would tokenize the corpus a second time.
-   *    One corpus-sized materialization is the floor for ANY plan that
-   *    consumes shingles twice; it stays distributed (executor storage).
+   * Plan mechanics (all load-bearing, measured at sf0.1):
+   *  - Shingles travel as DISTINCT 60-bit hashes (`trigram60`, one native
+   *    pass per row) from the first projection on: every downstream
+   *    exchange — the freq groupBy, the prefix aggregation, the candidate
+   *    self-join, and the verify's array columns — carries longs instead
+   *    of ~20-char strings (3-4x narrower rows), and array_intersect in
+   *    the verify compares longs. Set sizes/intersections over the hash
+   *    sets equal those over the string sets up to 60-bit collisions, and
+   *    the DuckDB oracle applies the SAME hash (TextParams.sqlHash60), so
+   *    engine and oracle agree by construction.
+   *  - The hashed-shingle table is localCheckpointed ONCE up front and
+   *    feeds both the inverted index (freq + prefix ranking) and the final
+   *    verify join — one corpus-sized materialization is the floor for ANY
+   *    plan that consumes shingles twice; it stays distributed (executor
+   *    storage), and it pins the tokens->trigram60 pass at exactly once
+   *    (historically, interpreted-HOF shingling re-ran per array element
+   *    when inlined under Generate — 10.9 s vs 0.25 s at sf0.1).
    *  - Per-doc prefix selection is a hash aggregation (collect_list of
    *    (df, shingle), per-row sort_array, slice) rather than a row_number
    *    window: one exchange on doc_id with map-side partial aggregation and
@@ -151,23 +159,37 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     }
-    val docSh = docShingles(docs)
+    val docSh = spread(docs)
+      .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.trigram60(col("toks")).as("sh"))
       .withColumn("n", size(col("sh"))).localCheckpoint()
     val idx = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    // global frequency order (ties by shingle text for determinism)
+    // global frequency order (ties by shingle hash for determinism)
     val freq = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
     val prefixes = idx.join(freq, "shingle")
       .groupBy("doc_id")
       .agg(collect_list(struct(col("df"), col("shingle"))).as("items"))
       .select(col("doc_id"), size(col("items")).as("n"),
-        explode(slice(sort_array(col("items")), lit(1),
+        posexplode(slice(sort_array(col("items")), lit(1),
           (size(col("items")) - ceil(size(col("items")) * threshold - lit(1e-9)) + 1)
-            .cast("int"))).as("it"))
-      .select(col("doc_id"), col("n"), col("it.shingle").as("shingle"))
+            .cast("int"))))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
+        col("col.shingle").as("shingle"))
     val candidates = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) * threshold <=
-            least(col("a.n"), col("b.n")) + 1e-9)
+            least(col("a.n"), col("b.n")) + 1e-9 &&
+          // PPJoin positional filter: at the FIRST common shingle in the
+          // global order (positions pa/pb in each prefix) the overlap is
+          // bounded by 1 + min(na-pa, nb-pb) — every other common shingle
+          // sorts after it in BOTH docs. J >= t needs i(1+t) >= t(na+nb),
+          // so prune when the bound can't reach t/(1+t)*(na+nb); epsilon
+          // loosens only (recall-safe). A qualifying pair always survives
+          // via its first common shingle, which both prefixes provably
+          // contain (the prefix-length argument above).
+          lit(1) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >=
+            (col("a.n") + col("b.n")) * (threshold / (1 + threshold)) - 1e-9)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // exact verify straight off the checkpointed shingle arrays — no

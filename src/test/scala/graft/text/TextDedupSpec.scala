@@ -63,6 +63,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got === Set((1L, 2L)))
   }
 
+  test("trigram60 == hash60 over materialized distinct shingles; PPJoin path == exact baseline") {
+    import graft.text.TextParams.{M1, M2, P1, P2, H2Shift}
+    val df = docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river shore"),
+      (3L, "a b"), (4L, ""), (5L, "short text"),
+      (6L, "completely different words here about nothing in particular at all"))
+    // expression parity: trigram60(tokens) == sorted distinct hash60(shingle strings)
+    def fold(s: String, m: Long, p: Long): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * m + (b & 0xff)) % p)
+    val got = df.select(col("doc_id"),
+        graft.functions.GraftFunctions.trigram60(tokens(col("text"))).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val want = df.select(col("doc_id"), shingles(tokens(col("text"))).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+      .map { case (id, sh) =>
+        id -> sh.map(s => fold(s, M1, P1) | (fold(s, M2, P2) << H2Shift)).distinct.sorted }
+    assert(got === want)
+    // plan parity: hashed PPJoin pipeline == string inverted-index baseline
+    val fast = Dedup.ngramJaccardPairs(df, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val base = Dedup.ngramJaccardPairs(df, 0.5, exactBaseline = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast === base)
+    assert(fast.nonEmpty)
+  }
+
   test("minhash-LSH pairs == exact jaccard pairs on near-dup corpus") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"
     val df = docsDf(
