@@ -139,25 +139,8 @@ object TrainingQueries {
   private val tdocs =
     s"tdocs AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents)"
 
-  /** distinct-shingle inverted index + per-doc set sizes + pair intersections */
-  private val shingleCtes = s"""
-    sidx AS (SELECT doc_id, unnest(${sqlShingles("toks")}) AS shingle FROM tdocs),
-    ssizes AS (SELECT doc_id, count(*) AS n FROM sidx GROUP BY doc_id),
-    sinter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      FROM sidx a JOIN sidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)"""
-
-  private val jaccardSelect = s"""
-    SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
-           i.i / (sa.n + sb.n - i.i) AS jaccard
-    FROM sinter i
-    JOIN ssizes sa ON sa.doc_id = i.doc_a
-    JOIN ssizes sb ON sb.doc_id = i.doc_b
-    WHERE i.i / (sa.n + sb.n - i.i) >= $JaccardThreshold"""
-
-  /** HASHED distinct-shingle index (hash60 per shingle, the ngram engine
-   * path's representation — Dedup.ngramJaccardPairs carries shingles as
+  /** HASHED distinct-shingle index (hash60 per shingle — BOTH exact-Jaccard
+   * engine paths, the ngram PPJoin and the LSH verify, carry shingles as
    * 60-bit hashes end to end; DISTINCT here mirrors the engine's
    * dedup-by-hash, so the two sides agree even on a hash collision). */
   private val hshingleCtes = s"""
@@ -198,14 +181,14 @@ object TrainingQueries {
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bandrows a JOIN bandrows b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-    $shingleCtes,
+    $hshingleCtes,
     lshpairs AS (
       SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
              i.i / (sa.n + sb.n - i.i) AS jaccard
       FROM cand c
-      JOIN sinter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-      JOIN ssizes sa ON sa.doc_id = c.doc_a
-      JOIN ssizes sb ON sb.doc_id = c.doc_b
+      JOIN hinter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN hsizes sa ON sa.doc_id = c.doc_a
+      JOIN hsizes sb ON sb.doc_id = c.doc_b
       WHERE i.i / (sa.n + sb.n - i.i) >= $JaccardThreshold)"""
 
   /** per-doc quality metrics CTE block ending in `qual` */

@@ -416,8 +416,15 @@ object SpatialJoins {
     // pre-AQE — so spend three sub-second aggregates over the per-query
     // proof table to cut whole corpus passes.
     val nQueriesTotal = queries.count()
-    val nProven = tt("n proven")(proof.filter(col("complete")).count())
-    val nNeeds = tt("n round2")(proof.filter(!col("complete") && col("n") === k).count())
+    // one aggregate job for both branch-pruning counts (each Spark action
+    // costs fixed scheduling latency that no cores shrink)
+    val (nProven, nNeeds) = tt("proof counts") {
+      val r = proof.agg(
+        sum(when(col("complete"), 1L).otherwise(0L)),
+        sum(when(!col("complete") && col("n") === k, 1L).otherwise(0L))).first()
+      (if (r.isNullAt(0)) 0L else r.getLong(0),
+       if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     val nRemaining = nQueriesTotal - nProven - nNeeds
     if (dbg) System.err.println(
       s"[knn] queries=$nQueriesTotal proven=$nProven round2=$nNeeds brute=$nRemaining")

@@ -65,17 +65,20 @@ object Dedup {
     docShingles(docs).select(col("doc_id"), explode(col("sh")).as("shingle"))
 
   /**
-   * Candidate verification shared by the n-gram and MinHash-LSH plans:
-   * exact Jaccard over ONLY the candidate pairs, tokenizing ONLY the docs
-   * appearing in some candidate (broadcast semi-join BEFORE the CPU-heavy
-   * shingle computation; the reference's filter-before-fetch discipline,
-   * src/osm/ReferencesHandler.cpp:27-61).
+   * Candidate verification for the MinHash-LSH plan (the n-gram PPJoin
+   * plan verifies off its own checkpointed hash arrays): exact Jaccard
+   * over ONLY the candidate pairs, tokenizing ONLY the docs appearing in
+   * some candidate (broadcast semi-join BEFORE the CPU-heavy shingle
+   * computation; the reference's filter-before-fetch discipline,
+   * src/osm/ReferencesHandler.cpp:27-61). Shingles travel as distinct
+   * 60-bit hashes (`trigram60`), matching the ngram path and the DuckDB
+   * oracle's sqlHash60 — set sizes/intersections agree by construction.
    *
    * The localCheckpoints are load-bearing, not just recompute savers: the
    * outer jaccard filter's constraints otherwise infer isnotnull(size(sh))
-   * and PushDownPredicates INLINES the whole shingles(tokens(text)) tree
-   * into a Filter evaluated on EVERY doc below the semi-join (filters get
-   * no CollapseProject protection), re-tokenizing the full corpus per
+   * and PushDownPredicates INLINES the whole shingle tree into a Filter
+   * evaluated on EVERY doc below the semi-join (filters get no
+   * CollapseProject protection), re-tokenizing the full corpus per
    * consumer. The checkpoint cuts constraint propagation at a table that is
    * candidate-docs-small.
    */
@@ -85,8 +88,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct().localCheckpoint()
     val candidateIds = candidates
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    val docSh = docShingles(
-        docs.join(candidateIds.hint("broadcast"), Seq("doc_id"), "left_semi"))
+    val docSh = docs.join(candidateIds.hint("broadcast"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.trigram60(col("toks")).as("sh"))
       .withColumn("n", size(col("sh")))
       .localCheckpoint()
     candidates
