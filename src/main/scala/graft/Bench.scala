@@ -600,6 +600,10 @@ object Bench {
       // STUDY's own elapsed time, not wall-clock including the suite
       val studyElapsed = elapsed
       runAltExhibit = () => if (doAlt && studyElapsed < budgetS + altGraceS) {
+        // EVERYTHING including env parsing sits inside the try: the exhibit
+        // is documented non-fatal, so a malformed SPARK_GRAFT_SCALING_CPUS_ALT
+        // must not crash main after the suite (review finding)
+        try {
         val (altLo, altHi) = sys.env.get("SPARK_GRAFT_SCALING_CPUS_ALT") match {
           case Some(s) => val Array(l, h) = s.split(","); (l.trim.toInt, h.trim.toInt)
           case None => (math.max(1, cpus / 8), math.max(2, cpus / 2))
@@ -618,7 +622,6 @@ object Bench {
             f"[bench] scaling_alt cpus=$c sec=$sec%.2f host_steal=${steal * 100}%.1f%% " +
               f"dram=$dram%.0f/s flops=$flops%.0f/s elapsed=${elapsed}%.0fs")
         }
-        try {
           // symmetric floors here too: both levels get their first attempt
           // unconditionally, second attempts only inside the budget
           Seq(altLo, altHi, altHi, altLo).zipWithIndex.foreach { case (c, i) =>
@@ -640,7 +643,21 @@ object Bench {
           System.err.println(s"[bench] scaling_alt failed (non-fatal): $e")
         }
       }
-      renderScaling = () => scalingJsonStr(partial = false)
+      // a study where one level never completed an attempt (every child of
+      // that level crashed) must not throw out of main — the suite still
+      // runs and whatever attempts exist ship as evidence (review finding:
+      // pick()'s require would otherwise kill the bench before the suite)
+      renderScaling = () =>
+        if (Seq(cpusLo, cpusHi).forall(c => attempts.exists(_.cpus == c)))
+          scalingJsonStr(partial = false)
+        else {
+          System.err.println("[bench] scaling incomplete: a level has zero " +
+            "completed attempts; shipping partial evidence, suite proceeds")
+          val attemptsJson = attempts.map(a =>
+            f"""{"cpus":${a.cpus},"sec":${a.sec}%.3f,"steal":${a.steal}%.4f,"clean":${a.clean},"dram":${a.dram}%.1f,"flops":${a.flops}%.1f}""")
+            .mkString("[", ",", "]")
+          s""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"incomplete":true,"partial":true,"attempts":$attemptsJson}$altJson"""
+        }
     }
 
     // stage 2: the suite (headline queries first), with the completed study

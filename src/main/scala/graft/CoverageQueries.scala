@@ -270,6 +270,8 @@ object CoverageQueries {
        WHEN len($chain) = 0 THEN list_prepend($seg, $rings)
        WHEN ($seg)[1].n = ($chain)[-1].n THEN list_prepend(list_concat($chain, ($seg)[2:]), $rings)
        WHEN ($seg)[-1].n = ($chain)[-1].n THEN list_prepend(list_concat($chain, list_reverse($seg)[2:]), $rings)
+       WHEN ($seg)[-1].n = ($chain)[1].n THEN list_prepend(list_concat($seg, ($chain)[2:]), $rings)
+       WHEN ($seg)[1].n = ($chain)[1].n THEN list_prepend(list_concat(list_reverse($seg), ($chain)[2:]), $rings)
        ELSE list_prepend($seg, list_append($rings, ${close(chain)}))
       END"""
     val step = s"""CASE WHEN len(($j)[1]) >= 4 AND ($j)[1][1].n = ($j)[1][-1].n

@@ -24,48 +24,19 @@ object ProfileMain {
     if (mode == "geo") { profileGeo(spark, sfDir); spark.stop(); return }
     if (mode == "scale") { profileScale(spark); spark.stop(); return }
     if (mode == "ngram") {
+      // times the REGISTERED pipeline's own stage builders (Dedup.ppjoin*),
+      // not a copy that could drift from the query (review finding)
       val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
-      import graft.text.TextFunctions
       val threshold = graft.text.TextParams.JaccardThreshold
-      val docSh = t("docShingles.checkpoint") {
-        graft.util.Spread.spread(docs0)
-          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-          .select(col("doc_id"),
-            graft.functions.GraftFunctions.trigram60(col("toks")).as("sh"))
-          .withColumn("n", size(col("sh"))).localCheckpoint()
-      }
-      val idx = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      t("idx.count")(idx.count())
-      val freq = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
-      t("freq.count")(freq.count())
-      val prefixes = idx.join(freq, "shingle")
-        .groupBy("doc_id")
-        .agg(collect_list(struct(col("df"), col("shingle"))).as("items"))
-        .select(col("doc_id"), size(col("items")).as("n"),
-          posexplode(slice(sort_array(col("items")), lit(1),
-            (size(col("items")) - ceil(size(col("items")) * threshold - lit(1e-9)) + 1)
-              .cast("int"))))
-        .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
-          col("col.shingle").as("shingle"))
+      val docSh = t("docShingles.checkpoint")(Dedup.docShingleHashes(docs0))
+      val prefixes = Dedup.ppjoinPrefixes(docSh, threshold)
       t("prefixes.count")(prefixes.count())
       val prefCp = t("prefixes.checkpoint")(prefixes.localCheckpoint())
-      val candidates = prefCp.as("a").join(prefCp.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
-            greatest(col("a.n"), col("b.n")) * threshold <=
-              least(col("a.n"), col("b.n")) + 1e-9 &&
-            lit(1) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >=
-              (col("a.n") + col("b.n")) * (threshold / (1 + threshold)) - 1e-9)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      System.err.println(s"[prof] idx rows=${idx.count()} freq rows=${freq.count()} " +
-        s"prefix rows=${prefCp.count()} candidates=${candidates.count()}")
+      val candidates = Dedup.ppjoinCandidates(prefCp, threshold)
+      System.err.println(s"[prof] prefix rows=${prefCp.count()} " +
+        s"candidates=${candidates.count()}")
       val candCp = t("candidates.checkpoint")(candidates.localCheckpoint())
-      val out = candCp
-        .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("na")), "doc_a")
-        .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("nb")), "doc_b")
-        .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
-        .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
-        .filter(col("jaccard") >= threshold)
+      val out = Dedup.ppjoinVerify(candCp, docSh, threshold)
       t("verify.count")(out.count())
       t("verify.count2")(out.count())
       t("full.query")(Dedup.ngramJaccardPairs(docs0).count())

@@ -23,18 +23,29 @@ object SparkEntry {
 
   private def W(names: String*): String = DerivedTables.withClause(names: _*)
 
+  /** Filesystem-safe tag for an sf dir: sanitized path PLUS an md5 prefix
+   * of the exact path. Sanitization alone still collides ('/' and '.' both
+   * map to '_', so /sf0.1 and /sf0_1 shared a tag — review finding), and a
+   * colliding tag silently shares tmp stores/streams/indexes across dirs;
+   * the digest disambiguates while the sanitized prefix stays readable. */
+  private def pathTag(dir: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    dir.replaceAll("[^A-Za-z0-9_]", "_") + "_" + md5
+  }
+
   /** kNN index built at most once per (JVM, sf dir) — within one run the
    * input is immutable, so rebuilds would only re-time identical work.
-   * Keyed on the SANITIZED FULL PATH, not a hash (a hash collision between
-   * two sf dirs would silently reuse the wrong index — VERDICT.md), and a
-   * path only stays marked built if the build+save SUCCEEDED (a marked-but-
-   * failed build would make every later call skip the build and fail at
-   * load with a confusing missing-index error — ADVICE.md). */
+   * Keyed on the COLLISION-FREE pathTag (a collision between two sf dirs
+   * would silently reuse the wrong index — VERDICT.md), and a path only
+   * stays marked built if the build+save SUCCEEDED (a marked-but-failed
+   * build would make every later call skip the build and fail at load with
+   * a confusing missing-index error — ADVICE.md). */
   private val builtKnnIndexes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def ensureKnnIndex(s: SparkSession, dir: String): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_knn_index_" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      pathTag(dir)
     if (builtKnnIndexes.add(path)) {
       try KnnIndex.save(KnnIndex.build(s.table("points"), kMax = 8), path)
       catch { case e: Throwable => builtKnnIndexes.remove(path); throw e }
@@ -224,7 +235,7 @@ object SparkEntry {
     // oracle gate, not just CheckpointSpec ---
     "s8_lineage" -> ((s, dir) => {
       prep(s, dir)
-      val tag = dir.replaceAll("[^A-Za-z0-9_]", "_")
+      val tag = pathTag(dir)
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_s8_store_$tag"
       // fresh store every run: resume-from-watermark is CheckpointSpec's
       // job; this query oracles WHAT the committed lineage describes
@@ -251,7 +262,7 @@ object SparkEntry {
     // path itself is under the DuckDB gate, not just a spec ---
     "s27_stream_tile_counts" -> ((s, dir) => {
       prep(s, dir)
-      val tag = dir.replaceAll("[^A-Za-z0-9_]", "_")
+      val tag = pathTag(dir)
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_$tag"
       // watermarks require TIMESTAMP (ltz); the parquet round-trip yields
       // TIMESTAMP_NTZ — cast under the session's UTC zone (lossless)
@@ -280,7 +291,7 @@ object SparkEntry {
     // precondition documented on CorpusStream.streamingExactDedup) ---
     "s19_stream_dedup" -> ((s, dir) => {
       prep(s, dir)
-      val tag = dir.replaceAll("[^A-Za-z0-9_]", "_")
+      val tag = pathTag(dir)
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_docs_$tag"
       import s.implicits._
       val src = s.read.parquet(s"$dir/documents.parquet")

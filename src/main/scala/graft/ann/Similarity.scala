@@ -230,12 +230,16 @@ object Similarity {
     val b0 = if (blocks > 0) blocks
       else math.max(4, 2 * math.sqrt(
         vectors.sparkSession.sessionState.conf.numShufflePartitions.toDouble).toInt)
-    val v = normed(spread(vectors), "vec_id", "e", "n")
-      .withColumn("blk", pmod(col("vec_id"), lit(b0)).cast("int"))
-    val nV = v.count()
+    // contract guard counts the RAW input (a column-pruned count-star the
+    // scan answers from parquet metadata), not the normalized projection —
+    // counting `v` paid a full normalization pass that the join then
+    // recomputed (review finding)
+    val nV = vectors.count()
     require(nV <= maxVectors,
       s"cosineNearDupPairs: $nV vectors exceed maxVectors=$maxVectors — " +
         "exact near-dup is O(N^2) FLOPs; use srpNearDupPairs for large corpora")
+    val v = normed(spread(vectors), "vec_id", "e", "n")
+      .withColumn("blk", pmod(col("vec_id"), lit(b0)).cast("int"))
     // a-role: pairs (blk, y) for y >= blk; b-role: pairs (y, blk) for y <= blk
     val aRep = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
         col("n").as("na"), col("blk").as("ba"),

@@ -207,6 +207,14 @@ object GeometryBuild {
               state(rings, concat(chain, tail(seg))))
             .when(lastN(seg) === lastN(chain),
               state(rings, concat(chain, tail(reverse(seg)))))
+            // HEAD-of-chain matches (prepend): without these, a ring whose
+            // earlier segments are stored reversed shatters into
+            // force-closed fragments (review finding) — e.g. chain [B,A]
+            // then segment [C,B] extends at the head, not the tail
+            .when(lastN(seg) === firstN(chain),
+              state(rings, concat(seg, tail(chain))))
+            .when(firstN(seg) === firstN(chain),
+              state(rings, concat(reverse(seg), tail(chain))))
             .otherwise(state(concat(rings, array(closeRing(chain))), seg))
           val c2 = joined.getField("chain")
           when(size(c2) >= 4 && firstN(c2) === lastN(c2),

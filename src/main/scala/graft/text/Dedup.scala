@@ -164,15 +164,30 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     }
-    val docSh = spread(docs)
-      .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("toks"))
+    val docSh = docShingleHashes(docs)
+    ppjoinVerify(ppjoinCandidates(ppjoinPrefixes(docSh, threshold), threshold),
+      docSh, threshold)
+  }
+
+  // The PPJoin stages are package-visible so graft.ProfileMain times the
+  // REGISTERED pipeline stage by stage instead of a copy that could drift.
+
+  /** hashed-shingle corpus projection (doc_id, sh: array<long>, n),
+   * checkpointed once — feeds both the inverted index and the verify. */
+  private[graft] def docShingleHashes(docs: DataFrame): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         graft.functions.GraftFunctions.trigram60(col("toks")).as("sh"))
       .withColumn("n", size(col("sh"))).localCheckpoint()
+
+  /** per-doc PPJoin prefix rows (doc_id, n, p, shingle): shingles ranked by
+   * ascending document frequency (ties by hash for determinism), first
+   * n - ceil(t*n) + 1 kept, p = 1-based rank in the global order. */
+  private[graft] def ppjoinPrefixes(docSh: DataFrame, threshold: Double): DataFrame = {
     val idx = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    // global frequency order (ties by shingle hash for determinism)
     val freq = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val prefixes = idx.join(freq, "shingle")
+    idx.join(freq, "shingle")
       .groupBy("doc_id")
       .agg(collect_list(struct(col("df"), col("shingle"))).as("items"))
       .select(col("doc_id"), size(col("items")).as("n"),
@@ -181,7 +196,12 @@ object Dedup {
             .cast("int"))))
       .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
         col("col.shingle").as("shingle"))
-    val candidates = prefixes.as("a").join(prefixes.as("b"),
+  }
+
+  /** distinct candidate pairs from the prefix self-join, with PPJoin's
+   * length and positional filters. */
+  private[graft] def ppjoinCandidates(prefixes: DataFrame, threshold: Double): DataFrame =
+    prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) * threshold <=
             least(col("a.n"), col("b.n")) + 1e-9 &&
@@ -197,11 +217,12 @@ object Dedup {
             (col("a.n") + col("b.n")) * (threshold / (1 + threshold)) - 1e-9)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify straight off the checkpointed shingle arrays — no
-    // second corpus tokenization (verifiedJaccardPairs re-tokenizes
-    // candidate docs, and needs its checkpoint to stop constraint
-    // pushdown re-inlining the tokenizer; here the arrays are already
-    // materialized behind a LogicalRDD, so no barrier is required)
+
+  /** exact verify straight off the checkpointed shingle-hash arrays — no
+   * second corpus tokenization (the arrays are already materialized behind
+   * a LogicalRDD, so no further barrier is required). */
+  private[graft] def ppjoinVerify(candidates: DataFrame, docSh: DataFrame,
+                                  threshold: Double): DataFrame =
     candidates
       .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("na")), "doc_a")
       .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("nb")), "doc_b")
@@ -209,7 +230,6 @@ object Dedup {
       .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   /** (doc_id, sig) minhash signatures. Two projections: shingle hashes once,
    * then the NumHashes permutation minima over the hash array (CollapseProject
