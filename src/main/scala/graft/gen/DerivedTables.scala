@@ -247,14 +247,26 @@ object DerivedTables {
     "mp_rel_members" -> mpRelMembersSql,
   )
 
-  /** Register base parquet tables + derived views for `sfDir`. */
+  /** Register base parquet tables + derived views for `sfDir`.
+   *
+   * Memoized per (session, dir): registration = 10 parquet footer/schema
+   * reads + 12 SQL parses, ~1-1.5 s of pure driver-side catalog work that a
+   * deployed warehouse pays at table-creation time, not per query. The memo
+   * makes repeated calls free within a session while staying correct when a
+   * session switches sf dirs (the dir is part of the key). The derived-view
+   * COMPUTE is untouched — every query's scan still executes the view SQL. */
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
   def register(spark: SparkSession, sfDir: String): Unit = {
+    if (sfDir == registered.get(spark)) return
     baseTables.foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
     }
     derived.foreach { case (name, sql) =>
       spark.sql(sql).createOrReplaceTempView(name)
     }
+    registered.put(spark, sfDir)
+    ()
   }
 
   def view(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -215,7 +215,26 @@ object SpatialJoins {
     // coarse cell (collapse >= 4:1 for the agg, comfortably under the
     // refine threshold so uniform regions stay cold). Ladder levels <= lc
     // roll up from it; ladder levels > lc refine selectively.
-    val nTargets = tt("count")(targets.count())
+    // Corpus size: a plain count is metadata-only on file sources but still
+    // one job round-trip, and the small-corpus branch below needs a second
+    // stats job (max finest-cell occupancy) to gate its stack dedup. When
+    // the Catalyst size ESTIMATE already puts the corpus safely under the
+    // small bound, fold both into ONE finest-cell stats pass. The estimate
+    // only picks which stats job runs, never a result: sizeInBytes/8
+    // over-counts rows for any real (long,double,double) row (>= 20 B even
+    // columnar), so a big corpus can never sneak into the fine-grained agg
+    // path — borderline cases just take the safe count-first path.
+    val estRows = targets.queryExecution.optimizedPlan.stats.sizeInBytes / 8
+    def fineCells(df: DataFrame): DataFrame = df
+      .groupBy(cell_encode(col("lon"), col("lat"), lit(levels.max)).as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val (nTargets, maxStackPre): (Long, Option[Long]) =
+      if (estRows <= 4000000L) {
+        val r = tt("stats")(
+          fineCells(targets).agg(sum(col("cnt")), max(col("cnt"))).first())
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          Some(if (r.isNullAt(1)) 0L else r.getLong(1)))
+      } else (tt("count")(targets.count()), None)
     val lc = math.min(levels.max, math.max(levels.min,
       (math.log(math.max(1024.0, nTargets / 6.0)) / math.log(4.0)).toInt))
     // Small corpora take the direct plan (one full-ladder rollup from the
@@ -253,13 +272,27 @@ object SpatialJoins {
         .select(explode(col("__pids")).as("pid"), col("lon"), col("lat"))
     }
     val (targetsD, levelCounts) = if (fineLevels.isEmpty) {
-      // degenerate ladder (all levels coarser than the collapse bound):
-      // global dedup + direct rollup, the r01 shape — safe because the
-      // base agg at levels.max collapses >= 4:1 here by definition of lc
-      val tD = tt("global dedup")(stackDedup(targets).localCheckpoint())
-      val base = tD
-        .groupBy(cell_encode(col("lon"), col("lat"), lit(levels.max)).as("cell"))
-        .agg(count(lit(1)).as("cnt"))
+      // Degenerate ladder (all levels coarser than the collapse bound): the
+      // small-corpus shape. Stack dedup here is COST machinery, not
+      // correctness (top-k ties break by pid, so dropping all but the k
+      // smallest pids per coordinate never changes a result) — and for a
+      // corpus with shallow stacks it is a pure waste: a full
+      // ObjectHashAggregate + localCheckpoint of the whole corpus (measured
+      // 3-4 s of a ~10 s sf0.1 job) that saves nothing downstream. So gate
+      // it on MEASURED stack depth: finest-cell occupancy bounds coordinate-
+      // stack depth from above, and with every finest cell <= proofFactor*k
+      // points, per-query candidates stay <= (2*ringK+1)^2 * proofFactor*k
+      // — the same order as the design's pf*k*16 candidate budget — so the
+      // dedup could not reduce cost materially. One cheap stats job decides;
+      // deep-stack corpora still take the dedup path unchanged.
+      val maxStack = maxStackPre.getOrElse(tt("stack stats") {
+        val r = fineCells(targets).agg(max(col("cnt"))).first()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      })
+      val (tD, base) = if (maxStack > proofFactor.toLong * k) {
+        val d = tt("global dedup")(stackDedup(targets).localCheckpoint())
+        (d, fineCells(d))
+      } else (targets, fineCells(targets))
       val lcs = base
         .select(explode(array(levels.map(l =>
           cell_parent(col("cell"), lit(l))): _*)).as("cell"), col("cnt"))
@@ -358,7 +391,12 @@ object SpatialJoins {
       .groupBy(col("qid"), res.as("res"))
       .agg(sum("cnt").as("pop"))
 
-    // 3. finest level with enough ring population (coarsest as fallback)
+    // 3. finest level with enough ring population (coarsest as fallback).
+    // Checkpoints here are EAGER deliberately: lazy localCheckpoint(false)
+    // was measured 1.8x SLOWER end-to-end — under AQE, building the lazy
+    // checkpoint's RDD already executes every non-result query stage at
+    // plan-construction time (AdaptiveSparkPlanExec.getFinalPhysicalPlan),
+    // so laziness saves no work and serializes the stages in a worse order.
     val assigned = tt("assigned ckpt")(ringPop.groupBy("qid")
       .agg(max(when(col("pop") >= proofFactor.toLong * k, col("res"))).as("lvl"))
       .select(col("qid"), coalesce(col("lvl"), lit(levels.min)).as("lvl"))
