@@ -46,13 +46,19 @@ object SparkEntry {
 
   /** Stream-source tmp dirs written this JVM (see the streaming-source
    * scaffolding note in `baseQueries`); un-marked on failure so a partial
-   * write is never treated as present. */
-  private val writtenStreamSrcs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+   * write is never treated as present. The whole check-and-write holds one
+   * lock so a concurrent second caller BLOCKS until the first write
+   * completes instead of streaming a half-written directory (review
+   * finding); stream-source writes are rare and small, so the coarse lock
+   * costs nothing. */
+  private val writtenStreamSrcs = new java.util.HashSet[String]()
   private def writeStreamSrcOnce(path: String)(write: => Unit): Unit =
-    if (writtenStreamSrcs.add(path)) {
-      try write
-      catch { case e: Throwable => writtenStreamSrcs.remove(path); throw e }
+    writtenStreamSrcs.synchronized {
+      if (!writtenStreamSrcs.contains(path)) {
+        write
+        writtenStreamSrcs.add(path)
+        ()
+      }
     }
   private def ensureKnnIndex(s: SparkSession, dir: String): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_knn_index_" +

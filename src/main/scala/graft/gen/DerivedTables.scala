@@ -254,11 +254,18 @@ object DerivedTables {
    * deployed warehouse pays at table-creation time, not per query. The memo
    * makes repeated calls free within a session while staying correct when a
    * session switches sf dirs (the dir is part of the key). The derived-view
-   * COMPUTE is untouched — every query's scan still executes the view SQL. */
+   * COMPUTE is untouched — every query's scan still executes the view SQL.
+   *
+   * Contract narrowing vs the un-memoized version (review finding): within
+   * one session the underlying parquet is assumed immutable for a given dir
+   * (true for the driver testdata — regenerated data arrives in a new
+   * process); a dropped view IS detected (tableExists guard) and triggers a
+   * full re-registration. */
   private val registered = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
   def register(spark: SparkSession, sfDir: String): Unit = {
-    if (sfDir == registered.get(spark)) return
+    if (sfDir == registered.get(spark) &&
+      spark.catalog.tableExists(derived.last._1)) return
     baseTables.foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
     }

@@ -216,25 +216,33 @@ object SpatialJoins {
     // refine threshold so uniform regions stay cold). Ladder levels <= lc
     // roll up from it; ladder levels > lc refine selectively.
     // Corpus size: a plain count is metadata-only on file sources but still
-    // one job round-trip, and the small-corpus branch below needs a second
-    // stats job (max finest-cell occupancy) to gate its stack dedup. When
-    // the Catalyst size ESTIMATE already puts the corpus safely under the
-    // small bound, fold both into ONE finest-cell stats pass. The estimate
-    // only picks which stats job runs, never a result: sizeInBytes/8
-    // over-counts rows for any real (long,double,double) row (>= 20 B even
-    // columnar), so a big corpus can never sneak into the fine-grained agg
-    // path — borderline cases just take the safe count-first path.
+    // one job round-trip, and the small-corpus branch below needs both the
+    // finest-cell table (histogram base) and its max occupancy (the stack-
+    // dedup gate). When the Catalyst size ESTIMATE puts the corpus under
+    // the small bound, build the finest-cell table ONCE (checkpointed) and
+    // read count + max off it — one corpus scan serves the count, the gate,
+    // AND the histogram rollup below. The estimate picks only which stats
+    // job runs, never a result: stats.sizeInBytes is COMPRESSED on-disk
+    // bytes for file sources, so /8 can in principle under-count a heavily
+    // dictionary/RLE-compressed corpus — but the branch is SELF-CORRECTING:
+    // smallCorpus below is decided by the TRUE row count (sum of cnt), so a
+    // mis-estimated big corpus still takes the sampled big branch, having
+    // paid one extra aggregate. That wasted aggregate is itself bounded:
+    // rows that compress below 8 B/row have low-entropy coordinate bytes,
+    // i.e. heavily repeated coords, i.e. FEW distinct finest cells — the
+    // many-distinct-keys agg blow-up requires high-entropy doubles that do
+    // not compress below ~16 B/row.
     val estRows = targets.queryExecution.optimizedPlan.stats.sizeInBytes / 8
     def fineCells(df: DataFrame): DataFrame = df
       .groupBy(cell_encode(col("lon"), col("lat"), lit(levels.max)).as("cell"))
       .agg(count(lit(1)).as("cnt"))
-    val (nTargets, maxStackPre): (Long, Option[Long]) =
+    val (nTargets, maxStackPre, fineCellsPre): (Long, Option[Long], Option[DataFrame]) =
       if (estRows <= 4000000L) {
-        val r = tt("stats")(
-          fineCells(targets).agg(sum(col("cnt")), max(col("cnt"))).first())
+        val fc = tt("fine cells ckpt")(fineCells(targets).localCheckpoint())
+        val r = fc.agg(sum(col("cnt")), max(col("cnt"))).first()
         (if (r.isNullAt(0)) 0L else r.getLong(0),
-          Some(if (r.isNullAt(1)) 0L else r.getLong(1)))
-      } else (tt("count")(targets.count()), None)
+          Some(if (r.isNullAt(1)) 0L else r.getLong(1)), Some(fc))
+      } else (tt("count")(targets.count()), None, None)
     val lc = math.min(levels.max, math.max(levels.min,
       (math.log(math.max(1024.0, nTargets / 6.0)) / math.log(4.0)).toInt))
     // Small corpora take the direct plan (one full-ladder rollup from the
@@ -292,7 +300,7 @@ object SpatialJoins {
       val (tD, base) = if (maxStack > proofFactor.toLong * k) {
         val d = tt("global dedup")(stackDedup(targets).localCheckpoint())
         (d, fineCells(d))
-      } else (targets, fineCells(targets))
+      } else (targets, fineCellsPre.getOrElse(fineCells(targets)))
       val lcs = base
         .select(explode(array(levels.map(l =>
           cell_parent(col("cell"), lit(l))): _*)).as("cell"), col("cnt"))

@@ -47,6 +47,20 @@ class SpatialJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoin deep co-located stack (forces the gated dedup path) stays exact") {
+    // 200 points stacked on ONE coordinate: finest-cell occupancy 200 >
+    // proofFactor*k = 32*3 = 96, so prepareKnnTargets takes the stack-dedup
+    // branch (the occupancy gate added after r02 skips it for shallow
+    // stacks); top-k at the stack must be the k smallest pids regardless
+    val stacked = (0 until 200).map(i => (500L + i, 3.0, 3.0)) ++
+      (0 until 100).map(i => (i.toLong, (i % 10) - 5.0, (i % 7) - 3.5))
+    val targets = stacked.toDF("pid", "lon", "lat")
+    val queries = Seq((1L, 3.0, 3.0)).toDF("qid", "qlon", "qlat")
+    val got = SpatialJoins.knnJoin(queries, targets, k = 3)
+      .select("pid", "rank").as[(Long, Long)].collect().sortBy(_._2).map(_._1)
+    assert(got.toSeq === Seq(500L, 501L, 502L))
+  }
+
   test("tileHistogram (salted two-phase) equals plain groupBy count") {
     val points = (0 until 1000).map(i => (i.toLong, (i % 100) / 10.0, (i % 50) / 10.0))
       .toDF("pid", "lon", "lat")
