@@ -154,6 +154,18 @@ object SparkEntry {
       SpatialJoins.tileHistogram(s.table("points"), z = 6)
         .select(col("tile_id"), col("cnt").cast("long"))
     }),
+    // raster-tile <-> vector-GEOMETRY join (the north star's raster join on
+    // the polygon side): rect envelopes against the tile inventory. Numeric
+    // boxes straight from the rects view so Spark and DuckDB floor the
+    // identical doubles (see tileCoverJoinWkt's round-trip caveat).
+    "tile_cover_join" -> ((s, dir) => {
+      prep(s, dir)
+      val boxes = s.table("rects").select(col("poly_id"),
+        (col("cx") - col("hw")).as("xmin"), (col("cy") - col("hh")).as("ymin"),
+        (col("cx") + col("hw")).as("xmax"), (col("cy") + col("hh")).as("ymax"))
+      SpatialJoins.tileCoverJoin(boxes, s.table("raster_tiles"), z = 6)
+        .select(col("poly_id").cast("long"), col("tile_id"))
+    }),
     "cell_index" -> ((s, dir) => {
       prep(s, dir)
       s.table("points").select(col("pid").cast("long"),
@@ -420,6 +432,21 @@ object SparkEntry {
     // identical rows — the range partitioning changes layout, not content
     "tile_assign_ranged" -> s"""${W("points")}
       SELECT CAST(pid AS BIGINT) AS pid, $tileXySql AS tile_id FROM points""",
+
+    // rect-envelope tile ranges with the same clamped floor arithmetic the
+    // engine's tileCoverJoin writes as Spark SQL expressions; two unnest
+    // levels because DuckDB zips multiple unnests in one SELECT
+    "tile_cover_join" -> s"""${W("rects", "raster_tiles")},
+      b AS (SELECT poly_id,
+        LEAST(GREATEST(CAST(FLOOR(((cx - hw + 180.0) / 360.0) * 64.0) AS BIGINT), 0), 63) AS x0,
+        LEAST(GREATEST(CAST(FLOOR(((cx + hw + 180.0) / 360.0) * 64.0) AS BIGINT), 0), 63) AS x1,
+        LEAST(GREATEST(CAST(FLOOR(((cy - hh + 90.0) / 180.0) * 64.0) AS BIGINT), 0), 63) AS y0,
+        LEAST(GREATEST(CAST(FLOOR(((cy + hh + 90.0) / 180.0) * 64.0) AS BIGINT), 0), 63) AS y1
+      FROM rects),
+      xs AS (SELECT poly_id, unnest(generate_series(x0, x1)) AS tx, y0, y1 FROM b),
+      ys AS (SELECT poly_id, tx, unnest(generate_series(y0, y1)) AS ty FROM xs)
+      SELECT CAST(ys.poly_id AS BIGINT) AS poly_id, tx * 64 + ty AS tile_id
+      FROM ys JOIN raster_tiles t ON tx * 64 + ty = t.tile_id""",
 
     "s19_stream_dedup" -> """
       WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)

@@ -325,6 +325,19 @@ case class StObb(child: Expression) extends WktUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** st_bbox(wkt) -> array<double> [xmin, ymin, xmax, ymax] — StEnvelope's
+ * numeric sibling, so range operators (tile covers, cell ranges) can
+ * consume geometry bounds without re-parsing envelope-WKT corners. */
+case class StBbox(child: Expression) extends WktUnary {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val (xs, ys) = coords(v)
+    val e = Geo.envelopeOf(xs, ys)
+    new GenericArrayData(Array(e.xMin, e.yMin, e.xMax, e.yMax))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** st_x / st_y — coordinate extraction from a point WKT (typed-literal
  * tolerant, like the reference's parseLonLatFromWktPoint,
  * src/osm/OsmObjectHelper.cpp:94-138). */

@@ -540,6 +540,54 @@ object SpatialJoins {
     tileAssign(points, z).join(broadcast(tiles), "tile_id")
 
   /**
+   * Raster-tile <-> vector-GEOMETRY join: every inventory tile whose grid
+   * cell intersects a geometry's envelope at zoom z. Exact containment for
+   * axis-aligned geometries (the envelope IS the geometry); for general
+   * polygons this is the standard bbox-superset stage a refine (pipJoin's
+   * st_contains) follows. The tile x/y ranges use the SAME clamped floor
+   * arithmetic as `tile_id` — written as Spark SQL expressions so an
+   * external system (the DuckDB oracle) derives identical ids from the
+   * identical doubles. Per-geometry fan-out is bounded by envelope area in
+   * tiles; the inventory is broadcast. At warehouse scale the exploded
+   * (geometry, tile) side stays shuffle-free: scan -> sequence-explode ->
+   * broadcast-hash-probe in one codegen stage.
+   *
+   * @param boxes (…, xmin, ymin, xmax, ymax) — numeric envelopes; extra
+   *              columns (ids) pass through
+   * @param tiles (tile_id) inventory
+   */
+  def tileCoverJoin(boxes: DataFrame, tiles: DataFrame, z: Int): DataFrame = {
+    val n = 1L << z
+    def tx(c: Column): Column = least(greatest(
+      floor((c + lit(180.0)) / lit(360.0) * lit(n.toDouble)).cast("long"),
+      lit(0L)), lit(n - 1))
+    def ty(c: Column): Column = least(greatest(
+      floor((c + lit(90.0)) / lit(180.0) * lit(n.toDouble)).cast("long"),
+      lit(0L)), lit(n - 1))
+    boxes
+      .withColumn("__tx", explode(sequence(tx(col("xmin")), tx(col("xmax")))))
+      .withColumn("__ty", explode(sequence(ty(col("ymin")), ty(col("ymax")))))
+      .withColumn("tile_id", col("__tx") * n + col("__ty"))
+      .join(broadcast(tiles), "tile_id")
+      .drop("__tx", "__ty")
+  }
+
+  /** WKT convenience overload of [[tileCoverJoin]]: envelopes via st_bbox.
+   * The oracled query feeds numeric boxes instead — a %.7f WKT round-trip
+   * can move an envelope corner by ~1 ulp, which flips `floor` exactly on
+   * tile boundaries; st_bbox is for callers that only have geometry. */
+  def tileCoverJoinWkt(geoms: DataFrame, tiles: DataFrame, z: Int): DataFrame =
+    tileCoverJoin(
+      geoms.withColumn("__bb", st_bbox(col("wkt")))
+        .withColumn("xmin", element_at(col("__bb"), 1))
+        .withColumn("ymin", element_at(col("__bb"), 2))
+        .withColumn("xmax", element_at(col("__bb"), 3))
+        .withColumn("ymax", element_at(col("__bb"), 4))
+        .drop("__bb"),
+      tiles, z)
+      .drop("xmin", "ymin", "xmax", "ymax")
+
+  /**
    * Two-phase salted aggregation for skewed keys: partial counts on
    * (key, salt), final combine on key. Spark's hash aggregate already does
    * map-side partial aggregation for algebraic functions; explicit salting

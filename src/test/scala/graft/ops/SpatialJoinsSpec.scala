@@ -71,6 +71,36 @@ class SpatialJoinsSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("tileCoverJoin matches brute-force tile-range cover; WKT overload agrees") {
+    val z = 6
+    val n = 1L << z
+    val boxesRaw = Seq( // (gid, xmin, ymin, xmax, ymax) incl. a clamped edge box
+      (1L, -10.0, -5.0, 12.0, 3.0), (2L, 170.0, 80.0, 200.0, 95.0),
+      (3L, 0.1, 0.1, 0.2, 0.2))
+    val boxes = boxesRaw.toDF("gid", "xmin", "ymin", "xmax", "ymax")
+    def tx(v: Double) = math.min(n - 1, math.max(0L, math.floor((v + 180.0) / 360.0 * n).toLong))
+    def ty(v: Double) = math.min(n - 1, math.max(0L, math.floor((v + 90.0) / 180.0 * n).toLong))
+    val allTiles = (for {
+      (gid, x0, y0, x1, y1) <- boxesRaw
+      x <- tx(x0) to tx(x1); y <- ty(y0) to ty(y1)
+    } yield (gid, x * n + y)).toSet
+    // inventory = every other covered tile, so the join filters some out
+    val inv = allTiles.map(_._2).toSeq.sorted.zipWithIndex
+      .collect { case (t, i) if i % 2 == 0 => t }
+    val tiles = inv.toDF("tile_id")
+    val got = SpatialJoins.tileCoverJoin(boxes, tiles, z)
+      .select("gid", "tile_id").as[(Long, Long)].collect().toSet
+    assert(got === allTiles.filter(p => inv.contains(p._2)))
+    assert(got.nonEmpty)
+    // WKT overload: rectangles rendered as POLYGON rings give the same pairs
+    val geoms = boxesRaw.map { case (gid, x0, y0, x1, y1) =>
+      (gid, s"POLYGON(($x0 $y0,$x1 $y0,$x1 $y1,$x0 $y1,$x0 $y0))")
+    }.toDF("gid", "wkt")
+    val gotWkt = SpatialJoins.tileCoverJoinWkt(geoms, tiles, z)
+      .select("gid", "tile_id").as[(Long, Long)].collect().toSet
+    assert(gotWkt === got)
+  }
+
   test("tileJoin keeps only points whose tile is in the inventory") {
     val points = Seq((1L, 0.05, 0.05), (2L, 100.0, 50.0)).toDF("pid", "lon", "lat")
     val t1 = SpatialJoins.tileAssign(points, z = 6)
