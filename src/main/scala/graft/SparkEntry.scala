@@ -166,6 +166,17 @@ object SparkEntry {
       SpatialJoins.tileCoverJoin(boxes, s.table("raster_tiles"), z = 6)
         .select(col("poly_id").cast("long"), col("tile_id"))
     }),
+    // the north rule's "tile reassignments recomputed only for dirty cells":
+    // moved nodes from the compacted change batch -> (old tile, new tile)
+    // delta, clean tiles untouched
+    "tile_reassign_dirty" -> ((s, dir) => {
+      prep(s, dir)
+      val moved = ChangeBatch.dedupLatestVersion(s.table("changes"))
+        .filter(col("obj_type") === "node" && col("action") === "modify")
+        .select("id", "lon", "lat")
+      SpatialJoins.dirtyTileReassign(moved, s.table("node_geoms"), z = 6)
+        .select(col("id"), col("tile_old"), col("tile_new"))
+    }),
     "cell_index" -> ((s, dir) => {
       prep(s, dir)
       s.table("points").select(col("pid").cast("long"),
@@ -379,9 +390,12 @@ object SparkEntry {
     s"(SELECT ${res.toLong << 56} + ${terms.mkString(" + ")} FROM (SELECT $x AS xx, $y AS yy) mm)"
   }
 
-  private val tileXySql =
-    """LEAST(GREATEST(CAST(FLOOR(((lon + 180.0) / 360.0) * 64.0) AS BIGINT), 0), 63) * 64
-     + LEAST(GREATEST(CAST(FLOOR(((lat + 90.0) / 180.0) * 64.0) AS BIGINT), 0), 63)"""
+  /** z=6 flat tile id from arbitrary lon/lat SQL expressions (the DuckDB
+   * side of tile_id; shared by every tile oracle). */
+  private def tileXySqlOf(lonE: String, latE: String): String =
+    s"""LEAST(GREATEST(CAST(FLOOR((($lonE + 180.0) / 360.0) * 64.0) AS BIGINT), 0), 63) * 64
+     + LEAST(GREATEST(CAST(FLOOR((($latE + 90.0) / 180.0) * 64.0) AS BIGINT), 0), 63)"""
+  private val tileXySql = tileXySqlOf("lon", "lat")
 
   /** The O1 compaction window, shared by several oracles. */
   private val dedupSql = """
@@ -447,6 +461,18 @@ object SparkEntry {
       ys AS (SELECT poly_id, tx, unnest(generate_series(y0, y1)) AS ty FROM xs)
       SELECT CAST(ys.poly_id AS BIGINT) AS poly_id, tx * 64 + ty AS tile_id
       FROM ys JOIN raster_tiles t ON tx * 64 + ty = t.tile_id""",
+
+    // moved nodes only (same J2 'moved' predicate as j2_location_diff),
+    // tiles from the same clamped floor arithmetic as tile_assign, kept
+    // only when the assignment actually changes
+    "tile_reassign_dirty" -> s"""${W("changes", "node_geoms")}
+      SELECT m.id AS id,
+             ${tileXySqlOf("g.lon", "g.lat")} AS tile_old,
+             ${tileXySqlOf("m.lon", "m.lat")} AS tile_new
+      FROM ($dedupSql) m JOIN node_geoms g ON m.id = g.id
+      WHERE m.obj_type = 'node' AND m.action = 'modify'
+        AND NOT (g.lon = m.lon AND g.lat = m.lat)
+        AND (${tileXySqlOf("g.lon", "g.lat")}) <> (${tileXySqlOf("m.lon", "m.lat")})""",
 
     "s19_stream_dedup" -> """
       WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)

@@ -572,6 +572,32 @@ object SpatialJoins {
       .drop("__tx", "__ty")
   }
 
+  /**
+   * Dirty-cell tile reassignment (north rule: "tile reassignments
+   * recomputed only for dirty cells"): ONLY nodes whose stored location
+   * differs from the incoming change batch get a tile recomputed — the
+   * clean-tile corpus is never rescanned. The batch side is
+   * minute-diff-small by construction and broadcasts; at warehouse scale
+   * the snapshot is the bucketed store table, so the probe touches only
+   * matching buckets. Emits one row per node whose tile ACTUALLY changes,
+   * with old and new assignment — exactly the delta a tile-partitioned
+   * store MERGEs (reference analogue: the geometry-dirty 'moved' branch of
+   * the J2 location diff, src/osm/NodeHandler.cpp:48-80).
+   *
+   * @param nodeBatch (id, lon, lat) — incoming modified nodes
+   * @param snapshot  (id, lon, lat) — the stored node locations
+   */
+  def dirtyTileReassign(nodeBatch: DataFrame, snapshot: DataFrame, z: Int): DataFrame = {
+    val snap = snapshot
+      .withColumnRenamed("lon", "snap_lon").withColumnRenamed("lat", "snap_lat")
+    nodeBatch.hint("broadcast").join(snap, Seq("id"))
+      .filter(col("lon") =!= col("snap_lon") || col("lat") =!= col("snap_lat"))
+      .withColumn("tile_old", tile_id(col("snap_lon"), col("snap_lat"), lit(z)))
+      .withColumn("tile_new", tile_id(col("lon"), col("lat"), lit(z)))
+      .filter(col("tile_old") =!= col("tile_new"))
+      .select(col("id"), col("tile_old"), col("tile_new"))
+  }
+
   /** WKT convenience overload of [[tileCoverJoin]]: envelopes via st_bbox.
    * The oracled query feeds numeric boxes instead — a %.7f WKT round-trip
    * can move an envelope corner by ~1 ulp, which flips `floor` exactly on

@@ -101,6 +101,23 @@ class SpatialJoinsSpec extends AnyFunSuite {
     assert(gotWkt === got)
   }
 
+  test("dirtyTileReassign emits only moved nodes whose tile changes") {
+    val snap = Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0), (3L, 20.0, 20.0))
+      .toDF("id", "lon", "lat")
+    val batch = Seq(
+      (1L, 0.0, 0.0),     // unmoved -> dropped
+      (2L, 10.1, 10.1),   // moved within one z=6 tile (5.6x2.8 deg) -> dropped
+      (3L, -20.0, -20.0), // moved across tiles -> kept
+      (4L, 5.0, 5.0))     // absent from snapshot (a create) -> dropped
+      .toDF("id", "lon", "lat")
+    val got = SpatialJoins.dirtyTileReassign(batch, snap, z = 6)
+      .as[(Long, Long, Long)].collect().toSeq
+    def t(lon: Double, lat: Double): Long =
+      math.floor((lon + 180.0) / 360.0 * 64).toLong * 64 +
+        math.floor((lat + 90.0) / 180.0 * 64).toLong
+    assert(got === Seq((3L, t(20.0, 20.0), t(-20.0, -20.0))))
+  }
+
   test("tileJoin keeps only points whose tile is in the inventory") {
     val points = Seq((1L, 0.05, 0.05), (2L, 100.0, 50.0)).toDF("pid", "lon", "lat")
     val t1 = SpatialJoins.tileAssign(points, z = 6)
