@@ -79,11 +79,15 @@ object Similarity {
    * [[lshTopK]]. */
   def bruteTopK(queries: DataFrame, targets: DataFrame, k: Int,
                 maxQueries: Long = 100000L): DataFrame = {
-    val q = normed(queries, "qid", "qemb", "qn")
-    val nQ = q.count()
+    // guard counts the RAW input (metadata-only on file sources) so the
+    // norm projection isn't paid twice and a zero-norm row can't slip a
+    // too-large set past the cap — same convention as cosineNearDupPairs
+    // (review finding)
+    val nQ = queries.count()
     require(nQ <= maxQueries,
       s"bruteTopK: $nQ query vectors exceed maxQueries=$maxQueries; " +
         "use lshTopK for large query sets")
+    val q = normed(queries, "qid", "qemb", "qn")
     val t = normed(spread(targets), "vid", "temb", "tn")
     val scored = broadcast(q).crossJoin(t)
       .withColumn("cos", dotSeq(col("qemb"), col("temb")) / (col("qn") * col("tn")))
@@ -272,7 +276,12 @@ object Similarity {
   def srpNearDupPairs(vectors: DataFrame, threshold: Double,
                       numTables: Int = 8, numPlanes: Int = 8,
                       dim: Int = 64): DataFrame = {
-    val v = normed(spread(vectors), "vec_id", "e", "n")
+    // one corpus-sized materialization: v feeds the bucket rows AND both
+    // verify-join sides (different join keys, so exchange reuse can't help)
+    // — without the checkpoint each consumer re-scans the corpus and
+    // re-runs the per-row norm dot product (the docShingleHashes idiom;
+    // review finding)
+    val v = normed(spread(vectors), "vec_id", "e", "n").localCheckpoint()
     val bucketRows = v.select(col("vec_id"),
         posexplode(array((0 until numTables).map(t =>
           srpBucket(col("e"), numPlanes, dim, t)): _*)))

@@ -240,7 +240,10 @@ object Geo {
     d
   }
 
-  /** Vertex-mean centroid of a polyline (uncloses a closed input). */
+  /** Vertex-mean centroid of a polyline over the FULL point sequence —
+   * a repeated closing vertex counts like any other (the way_derived
+   * DuckDB oracle implements the identical mean; Polygon.centroid handles
+   * the POLYGON path separately). */
   def lineCentroid(xs: Array[Double], ys: Array[Double]): (Double, Double) = {
     var sx = 0.0; var sy = 0.0
     var i = 0

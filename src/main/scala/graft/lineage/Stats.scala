@@ -18,8 +18,9 @@ import org.apache.spark.sql.util.QueryExecutionListener
  *  - row counts of pipeline outputs ride `Dataset.observe` (CollectMetrics
  *    operators — no extra actions, no plan barrier);
  *  - per-action wall/plan timings come from a QueryExecutionListener
- *    attached for the lifetime of the run, attributed to the phase that was
- *    current when the action completed;
+ *    attached for the lifetime of the run, attributed to the phase during
+ *    which the action STARTED (an interval log makes this robust to the
+ *    listener bus's asynchronous delivery);
  *  - batch composition counters (created/modified/deleted x type) come from
  *    one tiny aggregation per sequence (<= 9 rows);
  *  - the MERGE cross-check asserts `after == before - deleted + upserted`
@@ -33,15 +34,34 @@ import org.apache.spark.sql.util.QueryExecutionListener
  */
 final class RunStatistics(spark: SparkSession) {
 
-  @volatile private var currentPhase: String = "init"
+  // Phase attribution must survive the listener bus's ASYNCHRONOUS delivery:
+  // onSuccess often arrives after time()'s finally block has already moved
+  // currentPhase on (usually to 'idle'), so reading the mutable field at
+  // delivery misattributed actions systematically (review finding). Instead
+  // the driver keeps a log of closed phase intervals plus the open one, and
+  // each delivered action is attributed to the phase that was live at the
+  // action's measured START time (now - durationNs): exact up to listener
+  // lag on the END estimate, which is milliseconds against second-scale
+  // phases.
+  private var currentPhase: String = "init"
+  private var phaseStartNs: Long = System.nanoTime()
+  private val phaseIntervals = mutable.ArrayBuffer.empty[(String, Long, Long)]
   private val phaseMs = mutable.LinkedHashMap.empty[String, Long]
   private val counters = mutable.LinkedHashMap.empty[String, Long]
   private val actionNs = mutable.ArrayBuffer.empty[(String, Long)]
 
+  private def phaseAt(t: Long): String = phaseIntervals.synchronized {
+    if (t >= phaseStartNs) currentPhase
+    else phaseIntervals.reverseIterator
+      .find(iv => t >= iv._2 && t < iv._3).map(_._1).getOrElse("idle")
+  }
+
   private val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
-                           durationNs: Long): Unit =
-      actionNs.synchronized { actionNs += ((currentPhase, durationNs)) }
+                           durationNs: Long): Unit = {
+      val phase = phaseAt(System.nanoTime() - durationNs)
+      actionNs.synchronized { actionNs += ((phase, durationNs)) }
+    }
     override def onFailure(funcName: String, qe: QueryExecution,
                            exception: Exception): Unit = ()
   }
@@ -49,15 +69,20 @@ final class RunStatistics(spark: SparkSession) {
 
   def close(): Unit = spark.listenerManager.unregister(listener)
 
-  /** Time a phase (driver wall clock); listener actions completing inside
-   * are attributed to it. */
+  /** Time a phase (driver wall clock); listener actions whose execution
+   * STARTED inside it are attributed to it (see the interval log above). */
   def time[T](phase: String)(f: => T): T = {
-    currentPhase = phase
     val t0 = System.nanoTime()
+    phaseIntervals.synchronized { currentPhase = phase; phaseStartNs = t0 }
     try f
     finally {
-      phaseMs.updateWith(phase)(v => Some(v.getOrElse(0L) + (System.nanoTime() - t0) / 1000000))
-      currentPhase = "idle"
+      val t1 = System.nanoTime()
+      phaseIntervals.synchronized {
+        phaseIntervals += ((phase, t0, t1))
+        currentPhase = "idle"
+        phaseStartNs = t1
+      }
+      phaseMs.updateWith(phase)(v => Some(v.getOrElse(0L) + (t1 - t0) / 1000000))
     }
   }
 

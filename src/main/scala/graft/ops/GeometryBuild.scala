@@ -259,6 +259,12 @@ object GeometryBuild {
     })
     byRole
       .withColumn("im", im)
+      // a relation with NO outer ring is not a buildable multipolygon
+      // (broken data, or every outer failed to resolve): emit nothing
+      // rather than a negative-area 'MULTIPOLYGON()' whose holes silently
+      // vanish (review finding) — osm2rdf likewise emits no geometry for
+      // unbuildable areas
+      .filter(size(col("outers")) >= 1)
       .select(col("rel_id"),
         size(col("outers")).cast("long").as("n_outer"),
         size(col("inners")).cast("long").as("n_inner"),

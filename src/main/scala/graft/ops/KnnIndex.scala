@@ -43,7 +43,8 @@ object KnnIndex {
   def build(targets: DataFrame, kMax: Int,
             levels: Seq[Int] = Seq(20, 18, 16, 14, 12, 10, 8, 6),
             ringK: Int = 2, proofFactor: Int = 32): KnnIndex = {
-    require(ringK >= 1 && levels.nonEmpty && levels == levels.sorted.reverse,
+    require(ringK >= 1 && levels.nonEmpty && levels == levels.sorted.reverse &&
+      levels.distinct == levels,
       "levels must be distinct, finest (largest) first")
     val (targetsD, levelCounts, lc) =
       SpatialJoins.prepareKnnTargets(targets, kMax, levels, ringK, proofFactor)

@@ -116,7 +116,8 @@ object SpatialJoins {
               levels: Seq[Int] = Seq(20, 18, 16, 14, 12, 10, 8, 6),
               ringK: Int = 2, proofFactor: Int = 32,
               broadcastQueries: Boolean = true): DataFrame = {
-    require(ringK >= 1 && levels.nonEmpty && levels == levels.sorted.reverse,
+    require(ringK >= 1 && levels.nonEmpty && levels == levels.sorted.reverse &&
+      levels.distinct == levels,
       "levels must be distinct, finest (largest) first")
     val (targetsD, levelCounts, _) =
       prepareKnnTargets(targets, k, levels, ringK, proofFactor)
@@ -254,14 +255,18 @@ object SpatialJoins {
     val smallCorpus = nTargets <= 4000000L
     val fineLevels = if (smallCorpus) Nil else levels.filter(_ > lc)
     val coarseLevels = levels.filter(_ <= lc)
-    // straddle bound S at the fine level CLOSEST to lc (widest ring in
-    // coarse-cell units); e.g. gap 2 -> width 1.25 -> S = 9
-    val safeThresh = {
-      val worstW = fineLevels.reduceOption(math.min)
-        .map(l => (2 * ringK + 1) * math.pow(2.0, lc - l)).getOrElse(1.0)
-      val s = math.pow(math.ceil(worstW) + 1, 2)
-      math.max(1L, (proofFactor.toLong * k / s).toLong)
-    }
+    // Prune-exactness background for refineThresh below (the exact
+    // criterion is derived here but deliberately NOT used as the threshold):
+    // a ring at fine level l is (2*ringK+1)*2^(lc-l) coarse cells wide, so
+    // it straddles at most S = (ceil(width)+1)^2 coarse cells; a ring whose
+    // coarse parents are ALL below proofFactor*k/S true points has true
+    // population < proofFactor*k and could never qualify at that level —
+    // pruning those cells is cost-free for the assignment. That exact
+    // threshold (~pf*k/9 at a gap-2 ladder) is under 2 EXPECTED SAMPLES at
+    // the sampling rate below, so using it would flag ~1% of cells as
+    // false-positive hot and bloat the hot set ~50x; refineThresh instead
+    // keys on the detectable pf*k regime, and borderline cells just stay
+    // cold (cost-only — the proof + round 2 re-check every query).
     // Stack dedup = "k smallest pids per coordinate" — a BOUNDED aggregate
     // (topk_min, TypedImperativeAggregate), not a row_number window: the
     // window was one exchange of EVERY deduped row plus a per-reducer sort
@@ -320,35 +325,36 @@ object SpatialJoins {
       // error, and a misestimate only shifts WHERE a query's cost is paid
       // (round 2 / extra candidates), never what it answers.
       val sampleF = math.min(1.0, 8000000.0 / math.max(1L, nTargets))
+      // floor the hash threshold at 1: above ~8e12 targets (sampleF*1e6 < 1)
+      // a truncated-to-zero threshold would keep NO rows and NPE the
+      // percentile read below (review finding) — one-in-a-million sampling
+      // is the coarsest this switch goes
       val sampled = if (sampleF >= 1.0) targets
         else targets.filter(pmod(xxhash64(col("pid")), lit(1000000)) <
-          lit((sampleF * 1000000).toLong))
+          lit(math.max(1L, (sampleF * 1000000).toLong)))
       val coarseCounts = tt("coarse agg")(sampled
         .groupBy(cell_encode(col("lon"), col("lat"), lit(lc)).as("ccell"))
         .agg(count(lit(1)).as("cnt"))
         .localCheckpoint())
-      // Hot-set bound: `safeThresh` alone is prune-exact but ABSOLUTE — on
-      // a corpus dense enough that mean occupancy approaches it, every cell
-      // qualifies and refinement degenerates to the full-corpus histogram.
+      // Hot-set bound: the prune-exact criterion (see the derivation above
+      // fineLevels) is ABSOLUTE — on a corpus dense enough that mean
+      // occupancy approaches it, every cell qualifies and refinement
+      // degenerates to the full-corpus histogram.
       // The 99.5th-percentile floor caps the refined set at ~0.5% of cells
       // (true hot spots dominate that tail by construction; a
       // ring-distorting stack big enough to matter survives sampling and
       // lands in it — a stack of S appears as ~S*f samples). Raising the
-      // threshold above safeThresh can only UNDER-assign borderline rings —
-      // they fall to a coarser level and pay more candidates; exactness is
-      // untouched.
-      val p995 = tt("p995")(coarseCounts
-        .agg(expr("approx_percentile(cnt, 0.995)")).first().getLong(0))
+      // threshold above the exact criterion can only UNDER-assign
+      // borderline rings — they fall to a coarser level and pay more
+      // candidates; exactness is untouched.
+      val p995 = tt("p995") {
+        val r = coarseCounts.agg(expr("approx_percentile(cnt, 0.995)")).first()
+        if (r.isNullAt(0)) 0L else r.getLong(0) // empty sample -> no hot set
+      }
       // Refine only GENUINELY hot cells: >= proofFactor*k true points (a
-      // cell that single-handedly qualifies rings at its level). That is
-      // the detectable regime — pf*k*f sampled points stand far above the
-      // p995 noise floor — whereas the exact-criterion threshold
-      // (safeThresh ~ pf*k/9 true points) is under 2 expected samples and
-      // sampling would flag ~1% of cells as false-positive hot, bloating
-      // the hot set ~50x. Borderline cells (between the two thresholds)
-      // simply stay cold: their rings under-assign to a coarser level and
-      // pay at most ~ring-size * safeThresh extra candidates — bounded,
-      // and cost-only (the proof + round 2 re-check every query).
+      // cell that single-handedly qualifies rings at its level) — the
+      // detectable regime; see the prune-exactness note above fineLevels
+      // for why the exact ~pf*k/9 criterion is NOT usable under sampling.
       val refineThresh = math.max(
         math.max(1L, math.ceil(proofFactor.toLong * k * sampleF).toLong),
         p995 + 1)
@@ -392,10 +398,15 @@ object SpatialJoins {
     val res = shiftrightunsigned(col("cell"), 56).cast("int")
 
     // 2. ring population per (query, level): the ring side is queries-sized
-    // — broadcast it so the (corpus-sized) histogram never shuffles
+    // — broadcast it so the (corpus-sized) histogram never shuffles. Like
+    // every queries-sized broadcast in this plan it honors
+    // broadcastQueries=false (the escape hatch for query sets too large to
+    // broadcast would otherwise still OOM the driver right here — review
+    // finding); without the hint the equi-join shuffles both sides on cell.
     val rings = queries.select(col("qid"), explode(flatten(array(levels.map(l =>
       cell_kring(cell_encode(col("qlon"), col("qlat"), lit(l)), lit(ringK))): _*))).as("cell"))
-    val ringPop = levelCounts.join(broadcast(rings), "cell")
+    val ringSide = if (broadcastQueries) broadcast(rings) else rings
+    val ringPop = levelCounts.join(ringSide, "cell")
       .groupBy(col("qid"), res.as("res"))
       .agg(sum("cnt").as("pop"))
 
@@ -452,7 +463,8 @@ object SpatialJoins {
       .withColumn("complete", col("n") === k && col("kth") < radius)
       .localCheckpoint())
     val provenQids = proof.filter(col("complete")).select("qid")
-    val proven = ranked.join(provenQids.hint("broadcast"), Seq("qid"), "left_semi")
+    val provenSide = if (broadcastQueries) provenQids.hint("broadcast") else provenQids
+    val proven = ranked.join(provenSide, Seq("qid"), "left_semi")
       .select(out.head, out.tail: _*)
 
     // Driver-side branch pruning (the reference prunes plan branches by
@@ -516,7 +528,8 @@ object SpatialJoins {
     val brute = if (nRemaining == 0) emptyResult else tt("brute ckpt") {
       val handled = provenQids.unionByName(needs.select("qid"))
       val remaining = queries.join(handled, Seq("qid"), "left_anti")
-      broadcast(remaining).crossJoin(targetsD)
+      val remSide = if (broadcastQueries) broadcast(remaining) else remaining
+      remSide.crossJoin(targetsD)
         .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
@@ -565,6 +578,9 @@ object SpatialJoins {
       floor((c + lit(90.0)) / lit(180.0) * lit(n.toDouble)).cast("long"),
       lit(0L)), lit(n - 1))
     boxes
+      // inverted envelopes yield NOTHING, matching SQL generate_series
+      // semantics (Spark's sequence would step BACKWARDS — review finding)
+      .filter(col("xmin") <= col("xmax") && col("ymin") <= col("ymax"))
       .withColumn("__tx", explode(sequence(tx(col("xmin")), tx(col("xmax")))))
       .withColumn("__ty", explode(sequence(ty(col("ymin")), ty(col("ymax")))))
       .withColumn("tile_id", col("__tx") * n + col("__ty"))

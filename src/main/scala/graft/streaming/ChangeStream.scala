@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
-import graft.lineage.SnapshotStore
-import graft.ops.{ChangeBatch, DeltaApply}
+import graft.lineage.{RunStatistics, SnapshotStore, UpdateJob}
+import graft.ops.ChangeBatch
 
 /**
  * Structured Streaming surface. The reference is a micro-batch incremental
@@ -34,21 +34,39 @@ object ChangeStream {
                     version: Int, deleted: Int, ts: java.sql.Timestamp,
                     lon: Double, lat: Double)
 
-  /** Current winner of last-writer-wins compaction for one (objType, id). */
+  /** Current winner of last-writer-wins compaction for one (objType, id).
+   * Carries `ts` because the comparator tiebreaks on it — the SAME order as
+   * batch compaction (ChangeBatch.dedupLatestVersion: version desc, deleted
+   * desc, ts desc, eid desc); omitting ts made streaming and batch pick
+   * different winners on equal (version, deleted) (review finding). */
   case class Winner(objType: String, id: Long, version: Int, deleted: Int,
-                    eid: Long, lon: Double, lat: Double)
+                    ts: java.sql.Timestamp, eid: Long, lon: Double, lat: Double)
 
   /**
-   * Streaming ingest: apply each micro-batch's change rows seq-by-seq
-   * through the batch pipeline into `store`. Idempotent under micro-batch
-   * replay via the store's commit markers. Blocks until the available data
-   * is drained (`Trigger.AvailableNow`).
+   * Streaming ingest: apply each micro-batch's change rows seq-by-seq into
+   * `store` through [[graft.lineage.UpdateJob.applySeq]] — the LITERAL batch
+   * per-seq body (classify -> compact -> closure -> MERGE + cross-check ->
+   * dirty-way rebuild -> lineage/stats write -> commit), so streaming and
+   * batch semantics share one code path by construction. Idempotent under
+   * micro-batch replay via the store's commit markers. Blocks until the
+   * available data is drained (`Trigger.AvailableNow`).
    *
+   * Source contract (made LOUD, not silently lossy — review finding): each
+   * sequence must arrive WHOLE within one micro-batch and in ascending order
+   * across batches (the reference's one-replication-file-per-seq layout
+   * guarantees both). An uncommitted seq at or below the snapshot watermark
+   * is out-of-order delivery and throws; rows for an already-committed seq
+   * are indistinguishable from a replayed micro-batch and are skipped —
+   * which is exactly why the whole-seq-per-batch contract exists.
+   *
+   * @param wayMembers way membership for the dirty-way rebuild; None for
+   *                   node-only streams (the rebuild then runs over zero ways)
    * @return committed sequence numbers, ascending
    */
   def ingest(spark: SparkSession, changes: DataFrame, store: SnapshotStore,
              initialSnapshot: DataFrame, checkpointDir: String,
-             cellRes: Int = 12, partitions: Int = 8): Seq[Long] = {
+             cellRes: Int = 12, partitions: Int = 8,
+             wayMembers: Option[DataFrame] = None): Seq[Long] = {
     val committed = scala.collection.mutable.ArrayBuffer.empty[Long]
     val q = changes.writeStream
       .outputMode(OutputMode.Append())
@@ -57,36 +75,32 @@ object ChangeStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val seqs = batch.select("seq").distinct()
           .collect().map(_.getLong(0)).sorted
-        var snapshot = store.watermark() match {
+        val w0 = store.watermark()
+        var snapshot = w0 match {
           case Some(w) => store.readTable(spark, w, "node_geoms")
             .select("id", "lon", "lat")
           case None => initialSnapshot
         }
-        seqs.foreach { seq =>
-          if (!store.isCommitted(seq)) { // replayed batch => no-op
-            val compacted = ChangeBatch.dedupLatestVersion(
-              ChangeBatch.classify(batch.filter(col("seq") === seq)))
-            val nodeBatch = compacted.filter(col("obj_type") === "node")
-              .select(col("id"), col("action"), col("lon"), col("lat"))
-            // A6 exactly-once guard (shared with UpdateJob): the MERGE must
-            // satisfy after == before - deleted + upserted
-            val before = snapshot.count()
-            val (expDeleted, expUpserted) = DeltaApply.mergeMetrics(snapshot, nodeBatch)
-            snapshot = DeltaApply.applyChangeBatch(snapshot, nodeBatch)
-              .select("id", "lon", "lat")
-              .localCheckpoint(true)
-            val after = snapshot.count()
-            require(after == before - expDeleted + expUpserted,
-              s"stream MERGE count cross-check failed at seq=$seq: " +
-                s"after=$after != $before - $expDeleted + $expUpserted")
-            val snapCells = snapshot.withColumn("cell",
-              graft.functions.GraftFunctions.cell_encode(
-                col("lon"), col("lat"), lit(cellRes)))
-            store.writeTable(snapCells, seq, "node_geoms", "cell", partitions)
-            store.commit(seq)
-            committed += seq
+        val wm = wayMembers.getOrElse(UpdateJob.emptyWayMembers(spark))
+        val stats = new RunStatistics(spark)
+        try {
+          var beforeRows = stats.time("init")(snapshot.count())
+          seqs.foreach { seq =>
+            if (!store.isCommitted(seq)) { // replayed batch => no-op
+              require(w0.forall(seq > _),
+                s"out-of-order change sequence $seq is at or below the store " +
+                  s"watermark ${w0.get}: its effects are missing from the " +
+                  "snapshot later sequences were applied to")
+              val compacted = ChangeBatch.dedupLatestVersion(
+                ChangeBatch.classify(batch.filter(col("seq") === seq)))
+              val (snap2, afterRows) = UpdateJob.applySeq(spark, store, stats,
+                seq, compacted, snapshot, wm, beforeRows, cellRes, partitions)
+              snapshot = snap2
+              beforeRows = afterRows
+              committed += seq
+            }
           }
-        }
+        } finally stats.close()
         ()
       }
       .start()
@@ -111,9 +125,10 @@ object ChangeStream {
 
   /**
    * Stateful last-writer-wins compaction: for each (objType, id) key keep
-   * the winning record under the reference's comparator (version desc,
-   * deleted desc, eid desc — include/osm/OsmFileHelper.h:42-55) across ALL
-   * micro-batches, emitting the new winner whenever it changes.
+   * the winning record under the SAME comparator as batch compaction
+   * (ChangeBatch.dedupLatestVersion: version desc, deleted desc, ts desc,
+   * eid desc; reference comparator include/osm/OsmFileHelper.h:42-55)
+   * across ALL micro-batches, emitting the new winner whenever it changes.
    */
   def latestVersionState(changes: Dataset[Change]): Dataset[Winner] = {
     import changes.sparkSession.implicits._
@@ -121,6 +136,7 @@ object ChangeStream {
       val cmp =
         if (a.version != b.version) a.version.compareTo(b.version)
         else if (a.deleted != b.deleted) a.deleted.compareTo(b.deleted)
+        else if (a.ts != b.ts) a.ts.compareTo(b.ts)
         else a.eid.compareTo(b.eid)
       if (cmp >= 0) a else b
     }
@@ -130,7 +146,7 @@ object ChangeStream {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (key: (String, Long), rows: Iterator[Change], state: GroupState[Winner]) =>
           val incoming = rows.map(c =>
-            Winner(c.objType, c.id, c.version, c.deleted, c.eid, c.lon, c.lat))
+            Winner(c.objType, c.id, c.version, c.deleted, c.ts, c.eid, c.lon, c.lat))
             .reduceOption(better)
           val prev = state.getOption
           val next = (prev ++ incoming).reduceOption(better)
