@@ -70,6 +70,45 @@ class ChangeStreamSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("ingest shares the batch per-seq body: dirty-way rebuild + stats committed; out-of-order seqs throw") {
+    graft.functions.GraftFunctions.register(spark)
+    val srcDir = Files.createTempDirectory("stream_src2").toString
+    val storeDir = Files.createTempDirectory("stream_store2").toString
+    val ckptDir = Files.createTempDirectory("stream_ckpt2").toString
+    val store = new SnapshotStore(storeDir)
+    val initial = (1L to 40L).map(i => (i, i * 1.0, i * 0.5)).toDF("id", "lon", "lat")
+    // way 100 references node 1, which seq 0 moves -> must be rebuilt
+    val wayMembers = Seq((100L, 1L, 1), (100L, 2L, 2)).toDF("way_id", "node_id", "pos")
+    val cols = Seq("seq", "eid", "obj_type", "id", "version", "deleted", "action", "ts", "lon", "lat")
+    changeRows(Seq(0L)).toDF(cols: _*).write.parquet(s"$srcDir/f0.parquet")
+    val schema = spark.read.parquet(s"$srcDir/f0.parquet").schema
+    def stream = spark.readStream.schema(schema).parquet(s"$srcDir/*.parquet")
+
+    val committed = ChangeStream.ingest(spark, stream, store, initial, ckptDir,
+      partitions = 2, wayMembers = Some(wayMembers))
+    assert(committed === Seq(0L))
+    // parity with UpdateJob: streaming-committed seqs carry the dirty-way
+    // rebuild and the stats table, not just node_geoms
+    val dirty = store.readTable(spark, 0L, "dirty_way_geoms")
+      .select("way_id").as[Long].collect().toSet
+    assert(dirty === Set(100L))
+    val kinds = store.readStats(spark, 0L).select("kind").as[String].collect().toSet
+    assert(kinds.contains("phase_ms") && kinds.contains("counter"))
+
+    // an uncommitted seq at/below the watermark is out-of-order: loud, not lossy
+    val lateDir = Files.createTempDirectory("stream_src2_late").toString
+    val lateCkpt = Files.createTempDirectory("stream_ckpt2_late").toString
+    // seq 0 would be skipped (committed); seq -1 is genuinely out of order
+    changeRows(Seq(-1L)).toDF(cols: _*).write.parquet(s"$lateDir/f0.parquet")
+    def lateStream = spark.readStream.schema(schema).parquet(s"$lateDir/*.parquet")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ChangeStream.ingest(spark, lateStream, store, initial, lateCkpt,
+        partitions = 2, wayMembers = Some(wayMembers))
+    }
+    assert(ex.getMessage.contains("out-of-order") ||
+      Option(ex.getCause).exists(_.getMessage.contains("out-of-order")))
+  }
+
   test("tileCounts: event-time windowed aggregation with watermark") {
     val input = MemoryStream[Change](spark)
     graft.functions.GraftFunctions.register(spark)
