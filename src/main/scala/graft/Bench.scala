@@ -138,6 +138,12 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // every number below is rendered with f-interpolation and re-parsed
+    // with locale-fixed toDouble (child protocol lines, the JSON summary);
+    // pin the root locale so a comma-decimal default can't corrupt either
+    // (review finding) — child JVMs run this same main, so they are pinned
+    // identically
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
@@ -258,6 +264,10 @@ object Bench {
       val ok = as.filter(_.rows >= 0)
       if (ok.nonEmpty) ok.minBy(_.sec) else as.head
     }
+    // sfDir is user-controlled and lands inside a JSON string: escape it
+    // (Verify.q already does; an unescaped quote/backslash here would make
+    // the machine gate read "parsed": null — review finding)
+    val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
     def suiteJson(results: Seq[(String, Seq[QAttempt])], scaling: String): String = {
       val picked = results.map { case (n, as) => n -> best(as) }
       val total = picked.map(_._2.sec).filter(_ >= 0).sum
@@ -274,7 +284,7 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,""" +
         s""""query_steal":$st,"query_attempts":$at,""" +
-        s""""join_output_rows_per_sec":$headThroughput,"cpus":$cpus,"sf":"$sfDir"$scaling}"""
+        s""""join_output_rows_per_sec":$headThroughput,"cpus":$cpus,"sf":"$sfEsc"$scaling}"""
     }
     val resultsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[QAttempt])]
     def writeJson(s: String): Unit =

@@ -48,7 +48,12 @@ object CoverageQueries {
     // OsmChangeXmlSpec still asserts the full golden content (tags/nd/ts).
     "s1_osmchange_xml" -> ((s, dir) => {
       prep(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("osc_cov")
+      // fixed deterministic scratch dir, overwritten in place: a fresh
+      // createTempDirectory per invocation leaked one dir per attempt/round
+      // on the shared driver VM (review finding)
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_osc_cov")
+      java.nio.file.Files.createDirectories(tmp)
       val osc = s1Recs.map { r =>
         val i = r.i
         val body =

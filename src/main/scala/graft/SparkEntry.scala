@@ -41,8 +41,7 @@ object SparkEntry {
    * stays marked built if the build+save SUCCEEDED (a marked-but-failed
    * build would make every later call skip the build and fail at load with
    * a confusing missing-index error — ADVICE.md). */
-  private val builtKnnIndexes =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val builtKnnIndexes = new java.util.HashSet[String]()
 
   /** Stream-source tmp dirs written this JVM (see the streaming-source
    * scaffolding note in `baseQueries`); un-marked on failure so a partial
@@ -63,9 +62,16 @@ object SparkEntry {
   private def ensureKnnIndex(s: SparkSession, dir: String): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_knn_index_" +
       pathTag(dir)
-    if (builtKnnIndexes.add(path)) {
-      try KnnIndex.save(KnnIndex.build(s.table("points"), kMax = 8), path)
-      catch { case e: Throwable => builtKnnIndexes.remove(path); throw e }
+    // check-and-build under one lock (the writeStreamSrcOnce discipline): a
+    // non-blocking memo let a concurrent second caller skip the build and
+    // load a not-yet-written index (review finding); builds are rare and
+    // per-JVM-once, so the coarse lock costs nothing
+    builtKnnIndexes.synchronized {
+      if (!builtKnnIndexes.contains(path)) {
+        KnnIndex.save(KnnIndex.build(s.table("points"), kMax = 8), path)
+        builtKnnIndexes.add(path)
+        ()
+      }
     }
     path
   }

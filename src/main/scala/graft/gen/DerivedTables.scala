@@ -259,13 +259,14 @@ object DerivedTables {
    * Contract narrowing vs the un-memoized version (review finding): within
    * one session the underlying parquet is assumed immutable for a given dir
    * (true for the driver testdata — regenerated data arrives in a new
-   * process); a dropped view IS detected (tableExists guard) and triggers a
-   * full re-registration. */
+   * process); a dropped view — any of the 22 — IS detected (tableExists
+   * sweep, ~ms each) and triggers a full re-registration. */
   private val registered = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
   def register(spark: SparkSession, sfDir: String): Unit = {
     if (sfDir == registered.get(spark) &&
-      spark.catalog.tableExists(derived.last._1)) return
+      (baseTables.iterator ++ derived.iterator.map(_._1))
+        .forall(spark.catalog.tableExists)) return
     baseTables.foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
     }
