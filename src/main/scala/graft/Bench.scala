@@ -680,5 +680,42 @@ object Bench {
     scalingStr = renderScaling()
     writeSummary()
     println(suiteJson(resultsBuf.toSeq, scalingStr))
+    // COMPACT summary as the LAST stdout line (VERDICT.md r03 #1): the full
+    // line above grew past the driver's stdout-tail capture window in r03
+    // ("parsed": null — the tail started mid-line), so the machine gate read
+    // nothing. This line carries only the gate-relevant numbers (< 1 KB by
+    // construction: suite total, headline throughput, headline per-query
+    // seconds, scaling efficiencies + pass booleans) and is printed LAST so
+    // any tail window that holds one whole line holds it. The full evidence
+    // stays in the file (BENCH_LOCAL.json) and the full line above; a
+    // second mirror file carries this compact form.
+    val compact = {
+      val picked = resultsBuf.toSeq.map { case (n, as) => n -> best(as) }
+      val total = picked.map(_._2.sec).filter(_ >= 0).sum
+      val headPicked = picked.filter(r => headline.contains(r._1))
+      val headRows = headPicked.map(_._2.rows).filter(_ >= 0).sum
+      val headSec = headPicked.map(_._2.sec).filter(_ >= 0).sum
+      val thr = if (headSec > 0) headRows / headSec else 0.0
+      val qs = headPicked.map { case (k, a) => f""""$k":${a.sec}%.2f""" }
+        .mkString("{", ",", "}")
+      // pull the gate numbers back out of the scaling fragment rather than
+      // re-deriving them (the fragment is the single source of truth)
+      def grab(key: String): String =
+        s""""$key":(-?[0-9.]+)""".r.findFirstMatchIn(scalingStr)
+          .map(_.group(1)).getOrElse("null")
+      val eff = grab("efficiency")
+      val effMed = grab("efficiency_median")
+      val effHost = grab("efficiency_hostrel")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${picked.size},""" +
+        f""""join_output_rows_per_sec":$thr%.1f,"queries":$qs,""" +
+        s""""scaling_efficiency":$eff,"scaling_efficiency_median":$effMed,""" +
+        s""""scaling_efficiency_hostrel":$effHost,""" +
+        s""""scaling_pass":${if (eff == "null") "null" else (eff.toDouble >= 0.8).toString},""" +
+        s""""cpus":$cpus,"sf":"$sfEsc","full":"BENCH_LOCAL.json"}"""
+    }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"), compact + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write BENCH_SUMMARY.json failed: $e") }
+    println(compact)
   }
 }

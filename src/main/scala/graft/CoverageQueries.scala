@@ -64,7 +64,14 @@ object CoverageQueries {
         s"<${r.env}>$body</${r.env}>"
       }.mkString(
         """<?xml version="1.0"?><osmChange version="0.6">""", "", "</osmChange>")
-      java.nio.file.Files.writeString(tmp.resolve("batch.osc"), osc)
+      // atomic publish: a concurrent JVM (Verify alongside a Bench suite)
+      // must never read a half-written batch.osc (ADVICE.md) — write to a
+      // same-dir temp file and ATOMIC_MOVE over the target
+      val tmpFile = java.nio.file.Files.createTempFile(tmp, "batch", ".osc.tmp")
+      java.nio.file.Files.writeString(tmpFile, osc)
+      java.nio.file.Files.move(tmpFile, tmp.resolve("batch.osc"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       graft.ops.ChangeBatch.classify(
         graft.sources.OsmChangeXml.read(s, tmp.toString + "/*.osc")
           .withColumn("deleted", when(col("action") === "delete", 1).otherwise(0)))
@@ -176,15 +183,17 @@ object CoverageQueries {
     }),
 
     // F12 FULL multipolygon assembly: rings stitched from PARTIAL way
-    // segments (endpoint matching with reversal) + inner-role holes
-    // subtracted from area and nested in the WKT (VERDICT.md #4; fixture:
-    // split/reversed/multi-ring relations derived in DerivedTables)
+    // segments by GLOBAL endpoint matching (member-order-scrambled rings
+    // included — fixture family 2), inner-role holes subtracted from area
+    // and nested in the WKT by exact ray-cast point-in-ring (overlapping-
+    // bbox two-outer fixture family 3), plus the stitch_clean degradation
+    // flag (VERDICT.md r03 #2/#4; fixtures derived in DerivedTables)
     "rel_polygons_stitched" -> ((s, dir) => {
       prep(s, dir)
       GeometryBuild.buildRelPolygonsStitched(s.table("mp_rel_members"),
         s.table("mp_way_members"), s.table("mp_node_geoms"))
         .select(col("rel_id"), col("n_outer"), col("n_inner"),
-          col("area"), col("wkt"))
+          col("area"), col("wkt"), col("stitch_clean"))
     }),
 
     // P7: geometry-only MERGE through the osm2rdf option gate — a dump
@@ -261,41 +270,94 @@ object CoverageQueries {
           list_reduce(list_prepend(0.0::DOUBLE, xs), (a, b) -> a + b) / len(xs),
           list_reduce(list_prepend(0.0::DOUBLE, ys), (a, b) -> a + b) / len(ys)) || ')'"""
 
-  /** DuckDB side of the stitching fold — the SAME sequential contract as
-   * GeometryBuild.buildRelPolygonsStitched, expressed over list lambdas:
-   * fold state is `[chain] || rings` (a list of point-lists, chain first),
-   * elements are `[segment]` so the accumulator and element types match
-   * list_reduce's requirement. */
+  /** DuckDB side of the GLOBAL-matching stitch — the SAME sequential
+   * contract as GeometryBuild.buildRelPolygonsStitched, expressed as a
+   * RECURSIVE CTE advancing one assembler step per level: each step either
+   * consumes one segment (seed / lowest-indexed endpoint match with the
+   * engine's orientation precedence) or closes the open chain, so recursion
+   * depth is <= 2*|segs| and every level makes progress.
+   *
+   * Why a recursive CTE and not list_reduce (the r03 shape): the step needs
+   * a "lowest matching index" search, and a comprehension NESTED inside the
+   * list_reduce lambda mis-binds outer references in DuckDB 1.0 — observed
+   * returning ANOTHER ROW's accumulator (cross-row ring contamination).
+   * In the CTE every lambda is single-level over plain columns (the
+   * long-proven wayPtsCte pattern). */
   private val stitchedOracle: String = {
     val pt = "STRUCT(n BIGINT, x DOUBLE, y DOUBLE)"
-    val (chain, rings, seg) = ("acc[1]", "acc[2:]", "el[1]")
     def close(c: String) =
       s"CASE WHEN ($c)[1].n = ($c)[-1].n THEN ($c) ELSE list_append(($c), ($c)[1]) END"
-    val j = s"""CASE
-       WHEN len($chain) = 0 THEN list_prepend($seg, $rings)
-       WHEN ($seg)[1].n = ($chain)[-1].n THEN list_prepend(list_concat($chain, ($seg)[2:]), $rings)
-       WHEN ($seg)[-1].n = ($chain)[-1].n THEN list_prepend(list_concat($chain, list_reverse($seg)[2:]), $rings)
-       WHEN ($seg)[-1].n = ($chain)[1].n THEN list_prepend(list_concat($seg, ($chain)[2:]), $rings)
-       WHEN ($seg)[1].n = ($chain)[1].n THEN list_prepend(list_concat(list_reverse($seg), ($chain)[2:]), $rings)
-       ELSE list_prepend($seg, list_append($rings, ${close(chain)}))
-      END"""
-    val step = s"""CASE WHEN len(($j)[1]) >= 4 AND ($j)[1][1].n = ($j)[1][-1].n
-       THEN list_prepend([]::$pt[], list_append(($j)[2:], ($j)[1]))
-       ELSE ($j) END"""
-    val fold = s"""list_reduce(
-        list_prepend([[]::$pt[]], list_transform(segs, s -> [s])),
-        (acc, el) -> $step)"""
-    val finalRings = s"""CASE WHEN len(f[1]) = 0 THEN f[2:]
-       ELSE list_append(f[2:], ${close("f[1]")}) END"""
+    // lowest-indexed unconsumed segment sharing any endpoint with the chain
+    // (computed once per step in projection u below — single-level lambda)
+    val m = """(rem[i][1].n = chain[-1].n OR rem[i][-1].n = chain[-1].n
+       OR rem[i][-1].n = chain[1].n OR rem[i][1].n = chain[1].n)"""
+    val matches = s"[i for i in range(1, len(rem) + 1) if $m]"
+    val seg = "rem[mt[1]]"
+    // per-segment orientation precedence — identical to the engine's
+    // extendChain: append / append-reversed / prepend / prepend-reversed
+    val extend = s"""CASE
+       WHEN ($seg)[1].n = chain[-1].n THEN list_concat(chain, ($seg)[2:])
+       WHEN ($seg)[-1].n = chain[-1].n THEN list_concat(chain, list_reverse($seg)[2:])
+       WHEN ($seg)[-1].n = chain[1].n THEN list_concat($seg, chain[2:])
+       ELSE list_concat(list_reverse($seg), chain[2:]) END"""
+    val assembleCte = s"""
+      st AS (
+        SELECT rel_id, role, segs AS rem, []::$pt[][] AS rings,
+               []::$pt[] AS chain, 0 AS forced
+        FROM rsegs
+        UNION ALL
+        SELECT rel_id, role, rem2 AS rem,
+               CASE WHEN len(chain2) >= 4 AND (chain2)[1].n = (chain2)[-1].n
+                    THEN list_append(rings2, chain2) ELSE rings2 END AS rings,
+               CASE WHEN len(chain2) >= 4 AND (chain2)[1].n = (chain2)[-1].n
+                    THEN []::$pt[] ELSE chain2 END AS chain,
+               forced2 AS forced
+        FROM (
+          SELECT rel_id, role,
+                 CASE WHEN len(chain) = 0 THEN rem[2:]
+                      WHEN len(mt) = 0 THEN rem
+                      ELSE list_concat(rem[1:mt[1]-1], rem[mt[1]+1:]) END AS rem2,
+                 CASE WHEN len(chain) = 0 THEN rings
+                      WHEN len(mt) = 0 THEN list_append(rings, ${close("chain")})
+                      ELSE rings END AS rings2,
+                 CASE WHEN len(chain) = 0 THEN rem[1]
+                      WHEN len(mt) = 0 THEN []::$pt[]
+                      ELSE $extend END AS chain2,
+                 CASE WHEN len(chain) > 0 AND len(mt) = 0
+                      THEN forced + (CASE WHEN chain[1].n = chain[-1].n THEN 0 ELSE 1 END)
+                      ELSE forced END AS forced2
+          FROM (
+            SELECT st.*, $matches AS mt FROM st
+            WHERE NOT (len(chain) = 0 AND len(rem) = 0)
+          ) u
+        ) t
+      ),
+      stitched AS (
+        SELECT rel_id, role, rings, forced FROM st
+        WHERE len(chain) = 0 AND len(rem) = 0)"""
+    // Everything downstream of the fold is FLAT SQL over unnested (rel,
+    // ring-index, ring) rows: DuckDB 1.0 mis-binds OUTER column references
+    // inside doubly-nested list comprehensions (a `[... for j ...]` whose
+    // condition is itself a comprehension reading `outers[j]` returned
+    // ANOTHER ROW's outers — observed cross-row ring contamination), while
+    // single-level lambdas over plain columns are the long-proven pattern
+    // (wayPtsCte oracles). Per-ring shoelace/WKT are single-level; ring sums
+    // rebuild the engine's sequential fold via list(a ORDER BY j).
     def shoelace(r: String) = s"""abs(list_reduce(list_prepend(0.0::DOUBLE,
         [($r)[i].x * ($r)[i+1].y - ($r)[i+1].x * ($r)[i].y for i in range(1, len($r))]),
         (a, b) -> a + b)) / 2.0"""
     def ringTxt(r: String) =
       s"array_to_string([printf('%.7f %.7f', p.x, p.y) for p in ($r)], ',')"
-    val assign = s"""coalesce([j for j in range(1, len(outers) + 1)
-        if r[1].x >= list_min([p.x for p in outers[j]]) AND r[1].x <= list_max([p.x for p in outers[j]])
-       AND r[1].y >= list_min([p.y for p in outers[j]]) AND r[1].y <= list_max([p.y for p in outers[j]])][1], 1)"""
-    s"""${W("mp_rel_members", "mp_way_members", "mp_node_geoms")},
+    // exact ray-cast point-in-ring, arithmetic + guard order identical to
+    // the engine's insideRing (crossing parity over closed-ring edges);
+    // px/py are scalar columns, o is a plain ring column — one lambda level
+    def inside(o: String, px: String, py: String) =
+      s"""(len([i for i in range(1, len($o)) if
+         (($o)[i].y > $py) <> (($o)[i+1].y > $py)
+         AND $px < (($o)[i+1].x - ($o)[i].x) * ($py - ($o)[i].y) / (($o)[i+1].y - ($o)[i].y) + ($o)[i].x
+        ]) % 2 = 1)"""
+    s"""${W("mp_rel_members", "mp_way_members", "mp_node_geoms")
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")},
       wseg AS (
         SELECT w.way_id,
                list(struct_pack(n := w.node_id, x := g.lon, y := g.lat) ORDER BY w.pos, w.node_id) AS seg
@@ -306,30 +368,55 @@ object CoverageQueries {
         FROM mp_rel_members r JOIN wseg s ON r.member_id = s.way_id
         WHERE r.member_type = 'way' AND r.role IN ('outer', 'inner')
         GROUP BY r.rel_id, r.role),
-      folded AS (SELECT rel_id, role, $fold AS f FROM rsegs),
-      stitched AS (SELECT rel_id, role, $finalRings AS rings FROM folded),
-      byrole AS (
-        SELECT coalesce(o.rel_id, i.rel_id) AS rel_id,
-               coalesce(o.rings, []::$pt[][]) AS outers,
-               coalesce(i.rings, []::$pt[][]) AS inners
-        FROM (SELECT rel_id, rings FROM stitched WHERE role = 'outer') o
-        FULL OUTER JOIN (SELECT rel_id, rings FROM stitched WHERE role = 'inner') i
-          ON o.rel_id = i.rel_id),
-      meta AS (
-        SELECT rel_id, outers,
-               [struct_pack(txt := ${ringTxt("r")}, asg := $assign) for r in inners] AS im,
-               CAST(len(outers) AS BIGINT) AS n_outer,
-               CAST(len(inners) AS BIGINT) AS n_inner,
-               list_reduce(list_prepend(0.0::DOUBLE, [${shoelace("r")} for r in outers]), (a, b) -> a + b)
-             - list_reduce(list_prepend(0.0::DOUBLE, [${shoelace("r")} for r in inners]), (a, b) -> a + b) AS area
-        FROM byrole)
-      SELECT rel_id, n_outer, n_inner, area,
-        'MULTIPOLYGON(' || array_to_string(
-          ['(' || array_to_string(
-              list_prepend('(' || ${ringTxt("outers[j]")} || ')',
-                ['(' || m.txt || ')' for m in im if m.asg = j]), ',') || ')'
-           for j in range(1, len(outers) + 1)], ',') || ')' AS wkt
-      FROM meta"""
+      $assembleCte,
+      frc AS (SELECT rel_id, CAST(sum(forced) AS INT) AS forced FROM stitched GROUP BY rel_id),
+      oexp AS (
+        SELECT rel_id, unnest(rings) AS oring,
+               unnest(range(1, len(rings) + 1)) AS j
+        FROM stitched WHERE role = 'outer'),
+      iexp AS (
+        SELECT rel_id, unnest(rings) AS iring,
+               unnest(range(1, len(rings) + 1)) AS ii
+        FROM stitched WHERE role = 'inner'),
+      oring AS (SELECT rel_id, j, oring, ${shoelace("oring")} AS a,
+                       ${ringTxt("oring")} AS txt
+                FROM oexp),
+      irng AS (SELECT rel_id, ii, ${shoelace("iring")} AS a,
+                      ${ringTxt("iring")} AS txt,
+                      iring[1].x AS px, iring[1].y AS py
+               FROM iexp),
+      asg AS (
+        SELECT i.rel_id, i.ii, i.txt, i.a,
+               coalesce(min(CASE WHEN ${inside("o.oring", "i.px", "i.py")}
+                            THEN o.j END), 1) AS asg
+        FROM irng i LEFT JOIN oring o ON i.rel_id = o.rel_id
+        GROUP BY i.rel_id, i.ii, i.txt, i.a),
+      polys AS (
+        SELECT o.rel_id, o.j,
+               '((' || o.txt || ')' ||
+                 coalesce(string_agg(',(' || a.txt || ')', '' ORDER BY a.ii), '')
+                 || ')' AS ptxt
+        FROM oring o LEFT JOIN asg a ON a.rel_id = o.rel_id AND a.asg = o.j
+        GROUP BY o.rel_id, o.j, o.txt),
+      oagg AS (
+        SELECT p.rel_id,
+               CAST(count(*) AS BIGINT) AS n_outer,
+               'MULTIPOLYGON(' || string_agg(p.ptxt, ',' ORDER BY p.j) || ')' AS wkt,
+               list_reduce(list_prepend(0.0::DOUBLE, list(o.a ORDER BY p.j)),
+                           (x, y) -> x + y) AS oa
+        FROM polys p JOIN oring o ON o.rel_id = p.rel_id AND o.j = p.j
+        GROUP BY p.rel_id),
+      iagg AS (
+        SELECT rel_id, CAST(count(*) AS BIGINT) AS n_inner,
+               list_reduce(list_prepend(0.0::DOUBLE, list(a ORDER BY ii)),
+                           (x, y) -> x + y) AS ia
+        FROM irng GROUP BY rel_id)
+      SELECT o.rel_id, o.n_outer, coalesce(i.n_inner, 0) AS n_inner,
+             o.oa - coalesce(i.ia, 0.0) AS area, o.wkt,
+             (f.forced = 0) AS stitch_clean
+      FROM oagg o
+      LEFT JOIN iagg i ON i.rel_id = o.rel_id
+      JOIN frc f ON f.rel_id = o.rel_id"""
   }
 
   def oracleSql: Map[String, String] = Map(

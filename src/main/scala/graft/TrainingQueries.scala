@@ -28,6 +28,8 @@ object TrainingQueries {
   private val NumPlanes = 8
   /** SRP hash tables for the sub-quadratic near-dup path (srp_near_dup) */
   private val SrpTables = 8
+  /** hot-bucket salt cap for srp_near_dup (Similarity.srpNearDupPairs) */
+  private val SrpMaxBucket = 4096L
   private val IvfCentroids = 16
   private val IvfProbe = 4
   /** eval split for the contamination screen: doc_id % EvalMod == 0 */
@@ -87,7 +89,7 @@ object TrainingQueries {
     // exact embed_near_dup above (VERDICT.md missing #1)
     "srp_near_dup" -> ((s, dir) =>
       Similarity.srpNearDupPairs(emb(s, dir), CosineThreshold, SrpTables,
-        NumPlanes, EmbDim)),
+        NumPlanes, EmbDim, SrpMaxBucket)),
     "ann_topk" -> ((s, dir) =>
       Similarity.bruteTopK(emb(s, dir).filter(col("vec_id") % QueryMod === 0),
         emb(s, dir), TopK)),
@@ -444,9 +446,17 @@ object TrainingQueries {
              FROM p),
       br AS (SELECT vec_id, t.i AS tbl, bks[t.i + 1] AS bucket
              FROM pb, (SELECT unnest(range(0, $SrpTables)) AS i) t),
+      -- hot-bucket salt (mirrors srpNearDupPairs' guard): buckets above
+      -- $SrpMaxBucket rows split into ns = ceil(size/$SrpMaxBucket)
+      -- sub-buckets keyed by vec_id % ns; ns = 1 leaves small buckets as-is
+      bsz AS (SELECT tbl, bucket, count(*) AS c FROM br GROUP BY tbl, bucket),
+      br2 AS (SELECT br.vec_id, br.tbl, br.bucket,
+                     GREATEST(1, CAST(CEIL(c / $SrpMaxBucket.0) AS BIGINT)) AS ns
+              FROM br JOIN bsz USING (tbl, bucket)),
       cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-               FROM br a JOIN br b
-                 ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+               FROM br2 a JOIN br2 b
+                 ON a.tbl = b.tbl AND a.bucket = b.bucket
+                AND a.vec_id % a.ns = b.vec_id % b.ns AND a.vec_id < b.vec_id),
       verified AS (
         SELECT c.vec_a, c.vec_b, ${pairCos("va", "vb")} AS cos
         FROM cand c

@@ -182,13 +182,25 @@ object DerivedTables {
   // multipolygons have (reference golden tests/data/relation.ttl: lakes
   // with islands, boundaries split across many ways).
 
-  /** node k -> offset from the relation's center (outer square half-width 1,
-   * inner square 0.4, second square at +3 with half-width 0.5). */
+  /** node k -> offset from the relation's center. Family 1 (k 0-15): outer
+   * square half-width 1, inner square 0.4, second square at +3 half-width
+   * 0.5. Family 2 (k 16-23): the scrambled-order square's 8 boundary nodes.
+   * Family 3 (k 24-31): a U-shaped (concave) outer whose bbox CONTAINS the
+   * hole but whose interior does NOT; (k 32-35): a small square outer
+   * inside the U's notch; (k 36-39): the hole ring inside that square —
+   * the overlapping-bbox case where bbox hole-nesting provably mis-assigns
+   * and exact ray-cast point-in-ring is required (VERDICT.md r03 #4). */
   private val mpKoff = """(VALUES
       (0, -1.0, -1.0), (1, 0.0, -1.0), (2, 1.0, -1.0), (3, 1.0, 0.0),
       (4, 1.0, 1.0), (5, 0.0, 1.0), (6, -1.0, 1.0), (7, -1.0, 0.0),
       (8, -0.4, -0.4), (9, 0.4, -0.4), (10, 0.4, 0.4), (11, -0.4, 0.4),
-      (12, 2.5, -0.5), (13, 3.5, -0.5), (14, 3.5, 0.5), (15, 2.5, 0.5)
+      (12, 2.5, -0.5), (13, 3.5, -0.5), (14, 3.5, 0.5), (15, 2.5, 0.5),
+      (16, -1.0, -1.0), (17, 0.0, -1.0), (18, 1.0, -1.0), (19, 1.0, 0.0),
+      (20, 1.0, 1.0), (21, 0.0, 1.0), (22, -1.0, 1.0), (23, -1.0, 0.0),
+      (24, 0.0, 0.0), (25, 3.0, 0.0), (26, 3.0, 3.0), (27, 2.0, 3.0),
+      (28, 2.0, 1.0), (29, 1.0, 1.0), (30, 1.0, 3.0), (31, 0.0, 3.0),
+      (32, 1.2, 1.5), (33, 1.8, 1.5), (34, 1.8, 2.5), (35, 1.2, 2.5),
+      (36, 1.4, 1.9), (37, 1.6, 1.9), (38, 1.6, 2.1), (39, 1.4, 2.1)
     ) AS t(k, dx, dy)"""
 
   /** way segment definitions: (way seq in rel, role, pos in way, node k,
@@ -211,6 +223,35 @@ object DerivedTables {
        OR (cond = 'notmod3' AND n_nationkey % 3 <> 0)
        OR (cond = 'mod5' AND n_nationkey % 5 = 0)"""
 
+  // --- family 2 (rel_id 100+n): ORDER-SCRAMBLED rings (VERDICT.md r03 #2).
+  // One square ring of 8 nodes (k 16-23) split into 4 ways A,B,C,D in ring
+  // order, but listed in the relation as A,C,B,D — consecutive members share
+  // NO endpoint, so pos-order stitching provably shatters the ring while
+  // global endpoint matching assembles it. The middle segment B is stored
+  // REVERSED for odd relations (orientation + scramble together).
+  private val mp2Segdef = """(VALUES
+      (1, 1, 16, 'all'), (1, 2, 17, 'all'), (1, 3, 18, 'all'),
+      (2, 1, 18, 'even'), (2, 2, 19, 'even'), (2, 3, 20, 'even'),
+      (2, 1, 20, 'odd'), (2, 2, 19, 'odd'), (2, 3, 18, 'odd'),
+      (3, 1, 20, 'all'), (3, 2, 21, 'all'), (3, 3, 22, 'all'),
+      (4, 1, 22, 'all'), (4, 2, 23, 'all'), (4, 3, 16, 'all')
+    ) AS t(wseq, ptpos, k, cond)"""
+
+  // --- family 3 (rel_id 200+n): EXACT hole nesting (VERDICT.md r03 #4).
+  // Outer 1 = closed U-shape way (k 24-31), outer 2 = closed square way
+  // inside the U's notch (k 32-35), inner hole (k 36-39) inside outer 2.
+  // The hole's first vertex lies inside BOTH outers' bboxes but only inside
+  // outer 2 by ray-cast — bbox assignment would nest it under outer 1.
+  private val mp3Segdef = """(VALUES
+      (1, 'outer', 1, 24), (1, 'outer', 2, 25), (1, 'outer', 3, 26),
+      (1, 'outer', 4, 27), (1, 'outer', 5, 28), (1, 'outer', 6, 29),
+      (1, 'outer', 7, 30), (1, 'outer', 8, 31), (1, 'outer', 9, 24),
+      (2, 'outer', 1, 32), (2, 'outer', 2, 33), (2, 'outer', 3, 34),
+      (2, 'outer', 4, 35), (2, 'outer', 5, 32),
+      (3, 'inner', 1, 36), (3, 'inner', 2, 37), (3, 'inner', 3, 38),
+      (3, 'inner', 4, 39), (3, 'inner', 5, 36)
+    ) AS t(wseq, role, ptpos, k)"""
+
   val mpNodeGeomsSql: String = s"""
     SELECT n_nationkey * 100 + k AS id,
            CAST(n_nationkey * 3 AS DOUBLE) - 30.0 + CAST(dx AS DOUBLE) AS lon,
@@ -222,7 +263,14 @@ object DerivedTables {
            n_nationkey * 100 + k AS node_id,
            ptpos AS pos
     FROM nation CROSS JOIN $mpSegdef
-    WHERE $mpCond"""
+    WHERE $mpCond
+    UNION ALL
+    SELECT 10000 + n_nationkey * 10 + wseq, n_nationkey * 100 + k, ptpos
+    FROM nation CROSS JOIN $mp2Segdef
+    WHERE $mpCond
+    UNION ALL
+    SELECT 20000 + n_nationkey * 10 + wseq, n_nationkey * 100 + k, ptpos
+    FROM nation CROSS JOIN $mp3Segdef"""
 
   val mpRelMembersSql: String = s"""
     SELECT DISTINCT n_nationkey AS rel_id, n_nationkey * 10 + wseq AS member_id,
@@ -230,7 +278,15 @@ object DerivedTables {
     FROM nation CROSS JOIN $mpSegdef
     WHERE $mpCond
     UNION ALL
-    SELECT n_nationkey, n_nationkey * 100, 'node', '', 7 FROM nation"""
+    SELECT n_nationkey, n_nationkey * 100, 'node', '', 7 FROM nation
+    UNION ALL
+    SELECT DISTINCT 100 + n_nationkey, 10000 + n_nationkey * 10 + wseq, 'way', 'outer',
+           CASE wseq WHEN 1 THEN 1 WHEN 3 THEN 2 WHEN 2 THEN 3 ELSE 4 END
+    FROM nation CROSS JOIN $mp2Segdef
+    WHERE $mpCond
+    UNION ALL
+    SELECT DISTINCT 200 + n_nationkey, 20000 + n_nationkey * 10 + wseq, 'way', role, wseq
+    FROM nation CROSS JOIN $mp3Segdef"""
 
   val derived: Seq[(String, String)] = Seq(
     "points" -> pointsSql,

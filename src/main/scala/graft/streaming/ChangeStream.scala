@@ -133,10 +133,16 @@ object ChangeStream {
   def latestVersionState(changes: Dataset[Change]): Dataset[Winner] = {
     import changes.sparkSession.implicits._
     def better(a: Winner, b: Winner): Winner = {
+      // null ts sorts SMALLEST, matching batch dedupLatestVersion's
+      // `ts.desc` (nulls last in a descending sort) — a raw
+      // a.ts.compareTo(b.ts) NPE'd on null timestamps, breaking the
+      // same-comparator-as-batch claim exactly there (ADVICE.md)
+      def tsKey(w: Winner): Long =
+        Option(w.ts).map(_.getTime).getOrElse(Long.MinValue)
       val cmp =
         if (a.version != b.version) a.version.compareTo(b.version)
         else if (a.deleted != b.deleted) a.deleted.compareTo(b.deleted)
-        else if (a.ts != b.ts) a.ts.compareTo(b.ts)
+        else if (tsKey(a) != tsKey(b)) tsKey(a).compareTo(tsKey(b))
         else a.eid.compareTo(b.eid)
       if (cmp >= 0) a else b
     }

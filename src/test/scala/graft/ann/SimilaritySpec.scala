@@ -68,6 +68,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.subsetOf(exact))
   }
 
+  test("srpNearDupPairs hot-bucket guard: oversized buckets salt deterministically") {
+    // 300 IDENTICAL vectors: every table hashes them into ONE bucket, which
+    // unguarded would emit C(300,2) = 44850 candidates on a single shuffle
+    // key per table. With maxBucketSize = 50 the bucket splits into
+    // ns = ceil(300/50) = 6 residue classes of vec_id; survivors are exactly
+    // the pairs with vec_a ≡ vec_b (mod 6) — 6 * C(50,2) = 7350 pairs, every
+    // one verified at cos = 1.0.
+    val many = vecs((0L until 300L).map(i => (i, Seq(1f, 2f, 3f))): _*)
+    val got = Similarity.srpNearDupPairs(many, 0.9, numTables = 2,
+        numPlanes = 4, dim = 3, maxBucketSize = 50L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      a <- 0L until 300L; b <- (a + 1) until 300L; if a % 6 == b % 6
+    } yield (a, b)).toSet
+    assert(got === expected)
+    assert(got.size === 7350)
+    // small buckets (under the cap) are untouched: full pair set survives
+    val few = vecs((0L until 20L).map(i => (i, Seq(1f, 2f, 3f))): _*)
+    val full = Similarity.srpNearDupPairs(few, 0.9, numTables = 2,
+        numPlanes = 4, dim = 3, maxBucketSize = 50L).count()
+    assert(full === 190L) // C(20,2)
+  }
+
   test("srpBucket raises on a dim mismatch instead of hashing a prefix") {
     val ex = intercept[Exception] {
       sample.select(Similarity.srpBucket(col("embedding"), 8, 64).as("b")).collect()

@@ -6,11 +6,12 @@ import graft.GraftSparkSession
 
 /**
  * Adversarial fixtures for the stitched multipolygon assembly
- * (GeometryBuild.buildRelPolygonsStitched): segment reversal, multi-ring
- * chain restart, bbox hole assignment to a non-first outer, and the
- * force-close degradation for open chains — each against hand-computed
- * goldens (the registered `rel_polygons_stitched` query covers the
- * DuckDB-oracle parity; this spec pins the SEMANTICS).
+ * (GeometryBuild.buildRelPolygonsStitched): segment reversal, member-order
+ * scrambling (global endpoint matching), multi-ring chain restart, exact
+ * ray-cast hole nesting under overlapping bboxes, and the force-close
+ * degradation + stitch_clean flag for open chains — each against
+ * hand-computed goldens (the registered `rel_polygons_stitched` query covers
+ * the DuckDB-oracle parity; this spec pins the SEMANTICS).
  */
 class GeometryStitchSpec extends AnyFunSuite {
   lazy val spark = GraftSparkSession.spark
@@ -23,8 +24,8 @@ class GeometryStitchSpec extends AnyFunSuite {
     val rels = rows.map(r => (r._1, r._2, "way", r._7, r._8)).distinct
       .toDF("rel_id", "member_id", "member_type", "role", "pos")
     GeometryBuild.buildRelPolygonsStitched(rels, ways, nodes)
-      .select("rel_id", "n_outer", "n_inner", "area", "wkt")
-      .as[(Long, Long, Long, Double, String)].collect().sortBy(_._1)
+      .select("rel_id", "n_outer", "n_inner", "area", "wkt", "stitch_clean")
+      .as[(Long, Long, Long, Double, String, Boolean)].collect().sortBy(_._1)
   }
 
   test("split ring with a reversed segment + hole: stitched, hole subtracted") {
@@ -43,8 +44,9 @@ class GeometryStitchSpec extends AnyFunSuite {
       (1L, 3L, 8L, 4, 0.5, 1.0, "inner", 3),
       (1L, 3L, 5L, 5, 0.5, 0.5, "inner", 3)))
     assert(got.length === 1)
-    val (_, nOuter, nInner, area, wkt) = got(0)
+    val (_, nOuter, nInner, area, wkt, clean) = got(0)
     assert(nOuter === 1L && nInner === 1L)
+    assert(clean)
     assert(math.abs(area - (4.0 - 0.25)) < 1e-12)
     assert(wkt === "MULTIPOLYGON(((" +
       "0.0000000 0.0000000,2.0000000 0.0000000,2.0000000 2.0000000," +
@@ -53,7 +55,39 @@ class GeometryStitchSpec extends AnyFunSuite {
       "0.5000000 1.0000000,0.5000000 0.5000000)))")
   }
 
-  test("two outers: hole assigned to the SECOND outer by bbox, not the first") {
+  test("MEMBER-ORDER-SCRAMBLED ring: global endpoint matching assembles it") {
+    // square of 8 nodes split into 4 ways in ring order A,B,C,D but listed
+    // as A,C,B,D — consecutive members share NO endpoint, so pos-order
+    // stitching would force-close A into a degenerate triangle; the global
+    // matcher must find B (the lowest-indexed touching segment) and close
+    // the full square. B is additionally stored REVERSED.
+    val got = build(Seq(
+      (5L, 1L, 1L, 1, 0.0, 0.0, "outer", 1), // A: 1-2-3
+      (5L, 1L, 2L, 2, 1.0, 0.0, "outer", 1),
+      (5L, 1L, 3L, 3, 2.0, 0.0, "outer", 1),
+      (5L, 3L, 5L, 1, 2.0, 2.0, "outer", 2), // C: 5-6-7 (ring order third)
+      (5L, 3L, 6L, 2, 1.0, 2.0, "outer", 2),
+      (5L, 3L, 7L, 3, 0.0, 2.0, "outer", 2),
+      (5L, 2L, 5L, 1, 2.0, 2.0, "outer", 3), // B REVERSED: 5-4-3 (= 3-4-5)
+      (5L, 2L, 4L, 2, 2.0, 1.0, "outer", 3),
+      (5L, 2L, 3L, 3, 2.0, 0.0, "outer", 3),
+      (5L, 4L, 7L, 1, 0.0, 2.0, "outer", 4), // D: 7-8-1 closes the ring
+      (5L, 4L, 8L, 2, 0.0, 1.0, "outer", 4),
+      (5L, 4L, 1L, 3, 0.0, 0.0, "outer", 4)))
+    assert(got.length === 1)
+    val (_, nOuter, _, area, wkt, clean) = got(0)
+    assert(nOuter === 1L)
+    assert(clean)
+    assert(math.abs(area - 4.0) < 1e-12) // the full 2x2 square, one ring
+    // assembly order: seed A (1,2,3), extend B via append (4,5), extend C
+    // via append (6,7), extend D closes back to 1
+    assert(wkt === "MULTIPOLYGON(((" +
+      "0.0000000 0.0000000,1.0000000 0.0000000,2.0000000 0.0000000," +
+      "2.0000000 1.0000000,2.0000000 2.0000000,1.0000000 2.0000000," +
+      "0.0000000 2.0000000,0.0000000 1.0000000,0.0000000 0.0000000)))")
+  }
+
+  test("two outers: hole nested by exact ray-cast containment") {
     def square(rel: Long, way: Long, base: Long, x0: Double, y0: Double,
                s: Double, role: String, pos: Int) = Seq(
       (rel, way, base, 1, x0, y0, role, pos),
@@ -65,8 +99,9 @@ class GeometryStitchSpec extends AnyFunSuite {
       square(2L, 1L, 10L, 0.0, 0.0, 1.0, "outer", 1) ++
         square(2L, 2L, 20L, 10.0, 0.0, 1.0, "outer", 2) ++
         square(2L, 3L, 30L, 10.25, 0.25, 0.5, "inner", 3))
-    val (_, nOuter, nInner, area, wkt) = got(0)
+    val (_, nOuter, nInner, area, wkt, clean) = got(0)
     assert(nOuter === 2L && nInner === 1L)
+    assert(clean)
     assert(math.abs(area - (1.0 + 1.0 - 0.25)) < 1e-12)
     // polygon 1 has no hole; polygon 2 carries the inner ring
     assert(wkt === "MULTIPOLYGON(((" +
@@ -78,7 +113,38 @@ class GeometryStitchSpec extends AnyFunSuite {
       "10.2500000 0.7500000,10.2500000 0.2500000)))")
   }
 
-  test("open chain force-closes; non-way members ignored") {
+  test("overlapping-bbox outers: ray-cast beats bbox hole assignment") {
+    // outer 1 = U-shape whose BBOX contains the hole but whose interior
+    // does not (the hole sits in the notch); outer 2 = small square in the
+    // notch that truly contains the hole. bbox assignment would nest the
+    // hole under outer 1; exact ray-cast must pick outer 2.
+    val u = Seq((0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (2.0, 3.0), (2.0, 1.0),
+      (1.0, 1.0), (1.0, 3.0), (0.0, 3.0), (0.0, 0.0))
+    val sq = Seq((1.2, 1.5), (1.8, 1.5), (1.8, 2.5), (1.2, 2.5), (1.2, 1.5))
+    val hole = Seq((1.4, 1.9), (1.6, 1.9), (1.6, 2.1), (1.4, 2.1), (1.4, 1.9))
+    def way(rel: Long, wid: Long, base: Long, pts: Seq[(Double, Double)],
+            role: String, pos: Int) =
+      pts.zipWithIndex.map { case ((x, y), i) =>
+        // re-use the first node id for the closing point
+        val nid = if (i == pts.length - 1 && pts.head == pts.last) base
+          else base + i
+        (rel, wid, nid, i + 1, x, y, role, pos)
+      }
+    val got = build(way(7L, 1L, 100L, u, "outer", 1) ++
+      way(7L, 2L, 200L, sq, "outer", 2) ++ way(7L, 3L, 300L, hole, "inner", 3))
+    val (_, nOuter, nInner, area, wkt, clean) = got(0)
+    assert(nOuter === 2L && nInner === 1L)
+    assert(clean)
+    assert(math.abs(area - (7.0 + 0.6 - 0.04)) < 1e-9)
+    // the hole must appear inside the SECOND polygon (the notch square)
+    val polys = wkt.stripPrefix("MULTIPOLYGON(").stripSuffix(")")
+      .split("\\)\\),\\(\\(").toSeq
+    assert(polys.length === 2)
+    assert(!polys(0).contains("1.4000000 1.9000000")) // U carries no hole
+    assert(polys(1).contains("1.4000000 1.9000000"))  // square carries it
+  }
+
+  test("open chain force-closes with stitch_clean=false; non-way members ignored") {
     val rows = Seq(
       (3L, 1L, 1L, 1, 0.0, 0.0, "outer", 1),
       (3L, 1L, 2L, 2, 1.0, 0.0, "outer", 1),
@@ -89,15 +155,16 @@ class GeometryStitchSpec extends AnyFunSuite {
       Seq((3L, 99L, "node", "", 2))) // must be ignored by stitching
       .toDF("rel_id", "member_id", "member_type", "role", "pos")
     val got = GeometryBuild.buildRelPolygonsStitched(rels, ways, nodes)
-      .select("rel_id", "n_outer", "n_inner", "area", "wkt")
-      .as[(Long, Long, Long, Double, String)].collect()
+      .select("rel_id", "n_outer", "n_inner", "area", "wkt", "stitch_clean")
+      .as[(Long, Long, Long, Double, String, Boolean)].collect()
     assert(got.length === 1)
-    val (_, nOuter, nInner, area, _) = got(0)
+    val (_, nOuter, nInner, area, _, clean) = got(0)
     assert(nOuter === 1L && nInner === 0L)
+    assert(!clean) // force-closed -> flagged for quarantine
     assert(math.abs(area - 0.5) < 1e-12) // force-closed right triangle
   }
 
-  test("non-adjacent segments break the chain into separate force-closed rings") {
+  test("disconnected segments force-close into separate flagged rings") {
     val got = build(Seq(
       (4L, 1L, 1L, 1, 0.0, 0.0, "outer", 1),
       (4L, 1L, 2L, 2, 1.0, 0.0, "outer", 1),
@@ -106,8 +173,9 @@ class GeometryStitchSpec extends AnyFunSuite {
       (4L, 2L, 11L, 1, 5.0, 0.0, "outer", 2),
       (4L, 2L, 12L, 2, 6.0, 0.0, "outer", 2),
       (4L, 2L, 13L, 3, 6.0, 1.0, "outer", 2)))
-    val (_, nOuter, _, area, _) = got(0)
+    val (_, nOuter, _, area, _, clean) = got(0)
     assert(nOuter === 2L)
+    assert(!clean)
     assert(math.abs(area - 1.0) < 1e-12) // two 0.5 triangles
   }
 }
