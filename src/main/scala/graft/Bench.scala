@@ -32,7 +32,8 @@ object Bench {
     "embed_near_dup", "srp_near_dup",
     "knn_join_indexed", "contamination", "vocab_topk", "curate_corpus",
     "text_quality", "lang_id", "media_decode", "span_fingerprint",
-    "rel_polygons_stitched", "s27_stream_tile_counts", "s19_stream_dedup")
+    "rel_polygons_stitched", "way_hull",
+    "s27_stream_tile_counts", "s19_stream_dedup", "s19_stream_dedup_multibatch")
 
   private def withSession[T](cpus: Int)(f: SparkSession => T): T = {
     val spark = SparkSession.builder()

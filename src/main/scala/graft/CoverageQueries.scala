@@ -166,6 +166,15 @@ object CoverageQueries {
         .select(col("way_id"), col("length"), col("envelope"), col("centroid"))
     }),
 
+    // F12: convex hull of each way's point set (st_convex_hull / Andrew
+    // monotone chain) — previously GeoSpec-golden only (VERDICT.md r03 #5);
+    // the oracle re-implements the identical chain as a recursive CTE
+    "way_hull" -> ((s, dir) => {
+      prep(s, dir)
+      GeometryBuild.buildWayGeoms(s.table("way_members"), s.table("node_geoms"))
+        .select(col("way_id"), col("convex_hull"))
+    }),
+
     // F12 area path: closed ways -> POLYGON + shoelace area
     "way_polygons" -> ((s, dir) => {
       prep(s, dir)
@@ -419,8 +428,58 @@ object CoverageQueries {
       JOIN frc f ON f.rel_id = o.rel_id"""
   }
 
+  /** DuckDB side of st_convex_hull — Geo.convexHull's Andrew monotone chain
+   * re-implemented as a recursive CTE (the proven stitch-oracle pattern: one
+   * push or pop per recursion level, every lambda single-level). Points are
+   * the %.7f-parsed way coordinates, globally deduplicated and sorted by
+   * (x, y) exactly like the engine's sortBy + consecutive-dedup; cross
+   * products use the identical formula and <= 0 strictness, so collinear
+   * points drop identically and the final ring (closed, CCW, starting at
+   * the lexicographic minimum) is bit-identical. */
+  private val hullOracle: String = {
+    val pt = "STRUCT(x DOUBLE, y DOUBLE)"
+    // cross(o = hull[-2], a = hull[-1], b = pts[nxt]) — Geo.convexHull's
+    // (a.x-o.x)*(b.y-o.y) - (a.y-o.y)*(b.x-o.x)
+    val cross = """(hull[-1].x - hull[-2].x) * (pts[nxt].y - hull[-2].y)
+                 - (hull[-1].y - hull[-2].y) * (pts[nxt].x - hull[-2].x)"""
+    val pop = s"(len(hull) >= 2 AND ($cross) <= 0.0)"
+    s"""${W("way_members", "node_geoms").replaceFirst("^WITH ", "WITH RECURSIVE ")},
+      wp AS (
+        SELECT DISTINCT w.way_id,
+               CAST(printf('%.7f', g.lon) AS DOUBLE) AS x,
+               CAST(printf('%.7f', g.lat) AS DOUBLE) AS y
+        FROM way_members w JOIN node_geoms g ON w.node_id = g.id),
+      hpts AS (
+        SELECT way_id, list(struct_pack(x := x, y := y) ORDER BY x, y) AS pts
+        FROM wp GROUP BY way_id),
+      hstep AS (
+        SELECT way_id, side, pts, []::$pt[] AS hull, 1 AS nxt
+        FROM (SELECT way_id, 'lo' AS side, pts FROM hpts
+              UNION ALL
+              SELECT way_id, 'hi', list_reverse(pts) FROM hpts) seeds
+        UNION ALL
+        SELECT way_id, side, pts,
+               CASE WHEN $pop THEN hull[1:len(hull)-1]
+                    ELSE list_append(hull, pts[nxt]) END,
+               CASE WHEN $pop THEN nxt ELSE nxt + 1 END
+        FROM hstep WHERE nxt <= len(pts)),
+      hdone AS (SELECT way_id, side, hull FROM hstep WHERE nxt > len(pts)),
+      ring AS (
+        SELECT p.way_id,
+               CASE WHEN len(p.pts) = 1 THEN [p.pts[1], p.pts[1]]
+                    ELSE list_concat(lo.hull[1:len(lo.hull)-1], hi.hull) END AS ring
+        FROM hpts p
+        JOIN (SELECT way_id, hull FROM hdone WHERE side = 'lo') lo USING (way_id)
+        JOIN (SELECT way_id, hull FROM hdone WHERE side = 'hi') hi USING (way_id))
+      SELECT way_id,
+             'POLYGON((' || array_to_string(
+               [printf('%.7f %.7f', q.x, q.y) for q in ring], ',') || '))' AS convex_hull
+      FROM ring"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "rel_polygons_stitched" -> stitchedOracle,
+    "way_hull" -> hullOracle,
 
     "s1_osmchange_xml" -> {
       val rows = s1Recs.map(r =>

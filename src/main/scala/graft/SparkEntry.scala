@@ -369,6 +369,57 @@ object SparkEntry {
       s.table(qn).select(col("content_hash"), col("doc_id"))
     }),
 
+    // --- T19 multi-micro-batch variant (VERDICT.md r03 #6): the SAME
+    // streaming dedup driven through THREE source files with
+    // maxFilesPerTrigger=1, so the cross-batch first-seen semantics
+    // (CorpusStream.scala header) is itself under the DuckDB gate, not just
+    // spec-tested. The source is stream_docs (documents + injected clones —
+    // raw documents has NO duplicate texts, which would make this gate
+    // trivial; the clones' id offsets shift them into different batches, so
+    // first-seen genuinely diverges from min(doc_id)). Batch order is
+    // deterministic: FileStreamSource processes oldest-first
+    // (latestFirst=false default) and the three files get strictly
+    // increasing mtimes; file b holds the doc_id % 3 == b slice, so the
+    // oracle's keeper is rank-1 by (doc_id % 3, doc_id) per hash ---
+    "s19_stream_dedup_multibatch" -> ((s, dir) => {
+      prep(s, dir)
+      val tag = pathTag(dir)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_docs_mb_$tag"
+      import s.implicits._
+      val src = s.table("stream_docs")
+      writeStreamSrcOnce(tmp) {
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) p.listFiles().foreach(rm)
+          p.delete(); ()
+        }
+        rm(new java.io.File(tmp))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+        (0 until 3).foreach { b =>
+          val stage = s"${tmp}_stage"
+          src.filter(col("doc_id") % 3 === b)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = java.nio.file.Paths.get(tmp, f"batch_$b%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // strictly increasing mtimes pin micro-batch order (oldest-first)
+          dst.toFile.setLastModified(1700000000000L + b * 60000L)
+          rm(new java.io.File(stage))
+        }
+      }
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+        .as[graft.streaming.CorpusStream.StreamDoc]
+      val qn = s"s19mb_mem_$tag"
+      s.catalog.dropTempView(qn) // re-runnable within one session (Bench attempts)
+      val q = graft.streaming.CorpusStream.streamingExactDedup(stream)
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(col("content_hash"), col("doc_id"))
+    }),
+
     // --- span invariant over the interleaved docs table (input_hint) ---
     "span_fingerprint" -> ((s, dir) => {
       prep(s, dir)
@@ -483,6 +534,15 @@ object SparkEntry {
     "s19_stream_dedup" -> """
       WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
       SELECT content_hash, min(doc_id) AS doc_id FROM h GROUP BY content_hash""",
+
+    // first-seen-ACROSS-batches keeper: batch index = doc_id % 3 (file
+    // order), min doc_id within the earliest batch holding the hash
+    "s19_stream_dedup_multibatch" -> s"""${W("stream_docs")},
+      h AS (SELECT doc_id, md5(text) AS content_hash FROM stream_docs),
+      r AS (SELECT content_hash, doc_id, ROW_NUMBER() OVER (
+              PARTITION BY content_hash ORDER BY doc_id % 3, doc_id) AS rn
+            FROM h)
+      SELECT content_hash, doc_id FROM r WHERE rn = 1""",
 
     "tile_join" -> s"""${W("points", "raster_tiles")}
       SELECT CAST(p.pid AS BIGINT) AS pid, t.tile_id AS tile_id

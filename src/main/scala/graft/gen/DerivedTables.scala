@@ -172,6 +172,20 @@ object DerivedTables {
   val rasterTilesSql: String = """
     SELECT DISTINCT (p_partkey * 31) % 4096 AS tile_id FROM part"""
 
+  /** Streaming-dedup source with INJECTED exact duplicates: the raw
+   * documents table has no duplicate texts at any sf, so a dedup gate over
+   * it is trivially satisfiable. Clones of every 7th/5th doc get ids
+   * +10^6/+2*10^6 (collision-free at any sf; the offsets are ≡ 1 and 2
+   * mod 3, so a clone lands in a DIFFERENT micro-batch than its original
+   * under the multibatch split doc_id % 3 — the cross-batch first-seen
+   * keeper genuinely diverges from plain min(doc_id)). */
+  val streamDocsSql: String = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+    UNION ALL
+    SELECT CAST(doc_id + 1000000 AS BIGINT), text FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT CAST(doc_id + 2000000 AS BIGINT), text FROM documents WHERE doc_id % 5 = 0"""
+
   // --- multipolygon ring-stitching fixture (F12 residue, VERDICT.md #4):
   // 25 relations (from nation) whose OUTER rings are split across PARTIAL
   // way segments — square rings of 8 boundary nodes split into 3 ways, the
@@ -298,6 +312,7 @@ object DerivedTables {
     "rel_members" -> relMembersSql,
     "doc_spans" -> docSpansSql,
     "raster_tiles" -> rasterTilesSql,
+    "stream_docs" -> streamDocsSql,
     "mp_node_geoms" -> mpNodeGeomsSql,
     "mp_way_members" -> mpWayMembersSql,
     "mp_rel_members" -> mpRelMembersSql,
