@@ -14,7 +14,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * later batch is dropped, because the earlier keeper was already emitted
  * (append-mode output is immutable). Batch parity therefore holds exactly
  * when doc_ids arrive nondecreasing across batches, or when the whole
- * stream lands in one micro-batch (ADVICE.md).
+ * stream lands in one micro-batch (ADVICE.md). Both regimes are under the
+ * DuckDB gate: `s19_stream_dedup` (one micro-batch, batch-keeper oracle)
+ * and `s19_stream_dedup_multibatch` (three ordered files with injected
+ * cross-batch duplicates, first-seen-by-(batch, doc_id) oracle — 85 of
+ * its keepers diverge from plain min(doc_id), so the cross-batch
+ * semantics is genuinely exercised, VERDICT.md r03 #6).
  */
 object CorpusStream {
 

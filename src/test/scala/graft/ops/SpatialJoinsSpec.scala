@@ -118,6 +118,26 @@ class SpatialJoinsSpec extends AnyFunSuite {
     assert(got === Seq((3L, t(20.0, 20.0), t(-20.0, -20.0))))
   }
 
+  test("dirtyTileReassign above the broadcast gate: same rows, no forced broadcast") {
+    // a "backfill-sized" batch (threshold 2 rows here) must not carry the
+    // broadcast hint — the join still plans and answers identically
+    // (VERDICT.md r03 #7: an unconditional hint would broadcast a
+    // corpus-scale replay batch)
+    val snap = (0L until 50L).map(i => (i, i.toDouble, 0.0)).toDF("id", "lon", "lat")
+    val batch = (0L until 50L).map(i => (i, -i.toDouble, 0.0)).toDF("id", "lon", "lat")
+    val gated = SpatialJoins.dirtyTileReassign(batch, snap, z = 6, broadcastThreshold = 2L)
+    val hinted = SpatialJoins.dirtyTileReassign(batch, snap, z = 6)
+    // self-validating pair: the under-threshold plan must SHOW the hint
+    // marker this assertion greps for, so the gated negative isn't vacuous
+    def planStr(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.toString
+    assert(planStr(hinted).contains("ResolvedHint"))
+    assert(!planStr(gated).contains("ResolvedHint"))
+    val g = gated.as[(Long, Long, Long)].collect().toSet
+    assert(g === hinted.as[(Long, Long, Long)].collect().toSet)
+    assert(g.nonEmpty)
+  }
+
   test("tileJoin keeps only points whose tile is in the inventory") {
     val points = Seq((1L, 0.05, 0.05), (2L, 100.0, 50.0)).toDF("pid", "lon", "lat")
     val t1 = SpatialJoins.tileAssign(points, z = 6)
