@@ -33,7 +33,8 @@ object Bench {
     "knn_join_indexed", "contamination", "vocab_topk", "curate_corpus",
     "text_quality", "lang_id", "media_decode", "span_fingerprint",
     "rel_polygons_stitched", "way_hull",
-    "s27_stream_tile_counts", "s19_stream_dedup", "s19_stream_dedup_multibatch")
+    "s27_stream_tile_counts", "s19_stream_dedup", "s19_stream_dedup_multibatch",
+    "s19_stream_dedup_ttl")
 
   private def withSession[T](cpus: Int)(f: SparkSession => T): T = {
     val spark = SparkSession.builder()

@@ -59,6 +59,33 @@ object SparkEntry {
         ()
       }
     }
+  /** Write `src` as THREE single-parquet files keyed by doc_id % 3 with
+   * strictly increasing mtimes, so a maxFilesPerTrigger=1 file stream
+   * processes them as three deterministic micro-batches (oldest-first is
+   * the FileStreamSource default). Shared by the multibatch and TTL
+   * streaming-dedup queries. */
+  private def writeThreeBatchFiles(src: DataFrame, tmp: String): Unit = {
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    rm(new java.io.File(tmp))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+    (0 until 3).foreach { b =>
+      val stage = s"${tmp}_stage"
+      src.filter(col("doc_id") % 3 === b)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(tmp, f"batch_$b%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // strictly increasing mtimes pin micro-batch order (oldest-first)
+      dst.toFile.setLastModified(1700000000000L + b * 60000L)
+      rm(new java.io.File(stage))
+    }
+  }
+
   private def ensureKnnIndex(s: SparkSession, dir: String): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_knn_index_" +
       pathTag(dir)
@@ -387,33 +414,47 @@ object SparkEntry {
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_docs_mb_$tag"
       import s.implicits._
       val src = s.table("stream_docs")
-      writeStreamSrcOnce(tmp) {
-        def rm(p: java.io.File): Unit = {
-          if (p.isDirectory) p.listFiles().foreach(rm)
-          p.delete(); ()
-        }
-        rm(new java.io.File(tmp))
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
-        (0 until 3).foreach { b =>
-          val stage = s"${tmp}_stage"
-          src.filter(col("doc_id") % 3 === b)
-            .coalesce(1).write.mode("overwrite").parquet(stage)
-          val part = new java.io.File(stage).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = java.nio.file.Paths.get(tmp, f"batch_$b%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dst,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          // strictly increasing mtimes pin micro-batch order (oldest-first)
-          dst.toFile.setLastModified(1700000000000L + b * 60000L)
-          rm(new java.io.File(stage))
-        }
-      }
+      writeStreamSrcOnce(tmp)(writeThreeBatchFiles(src, tmp))
       val stream = s.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp)
         .as[graft.streaming.CorpusStream.StreamDoc]
       val qn = s"s19mb_mem_$tag"
       s.catalog.dropTempView(qn) // re-runnable within one session (Bench attempts)
       val q = graft.streaming.CorpusStream.streamingExactDedup(stream)
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(col("content_hash"), col("doc_id"))
+    }),
+
+    // --- T19 BOUNDED-STATE variant: the same three-micro-batch stream, but
+    // keeper state expires 300 s of EVENT TIME after the keeper (event-time
+    // timeout eviction) — the 10^12-scale shape where state is bounded by
+    // the dedup horizon instead of all history. Event times are derived
+    // from doc_id with integer arithmetic (batch b at base + b*600 s, ±47 s
+    // in-batch spread), so batch 0's keepers are LIVE at batch 1's
+    // watermark (~base+46) and EXPIRED at batch 2's (~base+646): a dup one
+    // batch later is dropped, a dup two batches later is re-kept. The
+    // DuckDB oracle replays the watermark recurrence exactly (recursive
+    // per-hash walk over batches) ---
+    "s19_stream_dedup_ttl" -> ((s, dir) => {
+      prep(s, dir)
+      val tag = pathTag(dir)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_docs_ttl_$tag"
+      import s.implicits._
+      val src = s.table("stream_docs").select(col("doc_id"), col("text"),
+        (lit(1704067200L) + (col("doc_id") % 3) * 600 + col("doc_id") % 47)
+          .as("ts_s"))
+      writeStreamSrcOnce(tmp)(writeThreeBatchFiles(src, tmp))
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+        .select(col("doc_id"), col("text"),
+          col("ts_s").cast("timestamp").as("ts"))
+        .as[graft.streaming.CorpusStream.TsDoc]
+      val qn = s"s19ttl_mem_$tag"
+      s.catalog.dropTempView(qn) // re-runnable within one session (Bench attempts)
+      val q = graft.streaming.CorpusStream
+        .streamingExactDedupTtl(stream, ttlMs = 300000L)
         .writeStream.outputMode("append").format("memory").queryName(qn)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -543,6 +584,43 @@ object SparkEntry {
               PARTITION BY content_hash ORDER BY doc_id % 3, doc_id) AS rn
             FROM h)
       SELECT content_hash, doc_id FROM r WHERE rn = 1""",
+
+    // TTL keeper replay: with watermark delay 0, the watermark entering
+    // batch b is the running max event time over batches < b; a keeper with
+    // event time T is live while T + 300 > wm. The per-hash recursive walk
+    // is the exact streaming recurrence: rn=1 always keeps; rn>1 keeps iff
+    // the carried expiry <= the batch's entry watermark, and only a KEEP
+    // re-anchors the expiry (dropped dups never extend the horizon) —
+    // mirroring CorpusStream.streamingExactDedupTtl line for line.
+    "s19_stream_dedup_ttl" -> s"""${W("stream_docs")
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")},
+      h AS (SELECT doc_id, md5(text) AS content_hash,
+                   CAST(doc_id % 3 AS BIGINT) AS b,
+                   1704067200 + (doc_id % 3) * 600 + (doc_id % 47) AS ts_s
+            FROM stream_docs),
+      bmax AS (SELECT b, max(ts_s) AS mx FROM h GROUP BY b),
+      wm AS (SELECT b, max(mx) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_s
+             FROM bmax),
+      cand AS (SELECT content_hash, b, min(doc_id) AS doc_id
+               FROM h GROUP BY content_hash, b),
+      cand2 AS (SELECT c.content_hash, c.b, c.doc_id, h.ts_s, w.wm_s,
+                       ROW_NUMBER() OVER (PARTITION BY c.content_hash
+                                          ORDER BY c.b) AS rn
+                FROM cand c
+                JOIN h ON h.content_hash = c.content_hash AND h.doc_id = c.doc_id
+                JOIN wm w ON w.b = c.b),
+      walk AS (
+        SELECT content_hash, rn, doc_id, TRUE AS kept, ts_s + 300 AS expiry
+        FROM cand2 WHERE rn = 1
+        UNION ALL
+        SELECT c.content_hash, c.rn, c.doc_id,
+               (w.expiry <= c.wm_s) AS kept,
+               CASE WHEN w.expiry <= c.wm_s THEN c.ts_s + 300
+                    ELSE w.expiry END AS expiry
+        FROM walk w
+        JOIN cand2 c ON c.content_hash = w.content_hash AND c.rn = w.rn + 1)
+      SELECT content_hash, doc_id FROM walk WHERE kept""",
 
     "tile_join" -> s"""${W("points", "raster_tiles")}
       SELECT CAST(p.pid AS BIGINT) AS pid, t.tile_id AS tile_id

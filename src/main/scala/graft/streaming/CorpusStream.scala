@@ -26,6 +26,9 @@ object CorpusStream {
   /** One document on the stream. */
   case class StreamDoc(doc_id: Long, text: String)
 
+  /** One document on the stream with an event-time column (TTL dedup). */
+  case class TsDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
   /** First-seen keeper for one content hash. */
   case class Kept(content_hash: String, doc_id: Long)
 
@@ -60,6 +63,67 @@ object CorpusStream {
           val minId = rows.map(_._1).min
           if (state.exists) Iterator.empty // hash already kept on the stream
           else { state.update(minId); Iterator(Kept(hash, minId)) }
+      }
+  }
+
+  /**
+   * BOUNDED-STATE streaming exact dedup: like [[streamingExactDedup]] but a
+   * keeper's state entry expires `ttlMs` of EVENT TIME after the keeper's
+   * own timestamp — the 10^12-scale variant. The unbounded operator's state
+   * is one pair per distinct document ever seen, which on an endless crawl
+   * feed grows without bound; here the state store holds only hashes whose
+   * keeper is younger than the dedup horizon (RocksDB-evicted via the
+   * event-time timeout), so state size is bounded by the horizon's distinct
+   * volume no matter how long the stream runs.
+   *
+   * Semantics (deterministic given deterministic batch boundaries, exactly
+   * reproduced by the `s19_stream_dedup_ttl` DuckDB oracle's recursive
+   * walk):
+   *  - a document is KEPT iff its hash has no LIVE state entry; within a
+   *    micro-batch the keeper is the min doc_id (batch-policy parity);
+   *  - a state entry written for a keeper with event time T is live while
+   *    `T + ttlMs > watermark` and is checked against the CURRENT batch's
+   *    watermark (Spark only fires timeout callbacks for groups with no
+   *    data in the trigger, so a group that keeps receiving duplicates must
+   *    re-check expiry itself — `getCurrentWatermarkMs`);
+   *  - a DROPPED duplicate does NOT extend the keeper's TTL (expiry is
+   *    anchored to the kept document, so the oracle's per-hash walk is a
+   *    linear recurrence over batches, not over rows);
+   *  - with delay 0 the watermark entering batch b is max(event time) over
+   *    batches < b (Spark advances the watermark at end-of-batch).
+   *
+   * The same hash can therefore be emitted MORE than once — once per
+   * horizon window it reappears in — which is the correct contract for a
+   * crawl pipeline deduping against a finite lookback rather than all of
+   * history.
+   */
+  def streamingExactDedupTtl(docs: Dataset[TsDoc], ttlMs: Long): Dataset[Kept] = {
+    import docs.sparkSession.implicits._
+    require(ttlMs > 0, "ttlMs must be positive")
+    docs
+      .withWatermark("ts", "0 seconds")
+      .withColumn("content_hash", md5(col("text")))
+      .as[(Long, String, java.sql.Timestamp, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (hash: String, rows: Iterator[(Long, String, java.sql.Timestamp, String)],
+         state: GroupState[Long]) => // state = keeper expiry (epoch ms)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val keeper = rows.minBy(_._1)
+            val wm = state.getCurrentWatermarkMs()
+            if (state.exists && state.get > wm) Iterator.empty // keeper live
+            else {
+              val expiry = keeper._3.getTime + ttlMs
+              state.update(expiry)
+              // timeout timestamps must exceed the current watermark; a
+              // keeper already past its horizon still suppresses only this
+              // batch and is evicted at the next trigger
+              state.setTimeoutTimestamp(math.max(expiry, wm + 1L))
+              Iterator(Kept(hash, keeper._1))
+            }
+          }
       }
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.GraftSparkSession
-import graft.streaming.CorpusStream.{Kept, StreamDoc}
+import graft.streaming.CorpusStream.{Kept, StreamDoc, TsDoc}
 
 class CorpusStreamSpec extends AnyFunSuite {
   lazy val spark = GraftSparkSession.spark
@@ -52,6 +52,54 @@ class CorpusStreamSpec extends AnyFunSuite {
           docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
         .filter("keep").select("doc_id").as[Long].collect().toSet
       assert(streamed === batch && streamed === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("streamingExactDedupTtl: keeper suppresses dups only inside the horizon") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val input = MemoryStream[TsDoc](spark)
+    val q = CorpusStream.streamingExactDedupTtl(input.toDS(), ttlMs = 300000L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_dedup_ttl_test").start()
+    def kept(): Set[Long] = spark.table("stream_dedup_ttl_test")
+      .as[Kept].collect().map(_.doc_id).toSet
+    try {
+      // batch 1: fresh hashes -> kept; expiries aa=1300, bb=1310
+      input.addData(TsDoc(1, "aa", ts(1000)), TsDoc(2, "bb", ts(1010)))
+      q.processAllAvailable()
+      assert(kept() === Set(1L, 2L))
+      // batch 2 (wm=1010): aa live (1300 > 1010) -> dup dropped; cc fresh
+      input.addData(TsDoc(3, "aa", ts(1020)), TsDoc(4, "cc", ts(1030)))
+      q.processAllAvailable()
+      assert(kept() === Set(1L, 2L, 4L))
+      // batch 3 (wm=1030): bb still live (1310 > 1030) -> dropped; dd fresh
+      // at t=2000 pushes the NEXT watermark past both expiries
+      input.addData(TsDoc(5, "dd", ts(2000)), TsDoc(6, "bb", ts(1999)))
+      q.processAllAvailable()
+      assert(kept() === Set(1L, 2L, 4L, 5L))
+      // batch 4 (wm=2000): aa and bb EXPIRED (1300/1310 <= 2000) -> re-kept
+      input.addData(TsDoc(7, "aa", ts(2050)), TsDoc(8, "bb", ts(2060)))
+      q.processAllAvailable()
+      assert(kept() === Set(1L, 2L, 4L, 5L, 7L, 8L))
+      // batch 5 (wm=2060): aa's NEW keeper (expiry 2350) is live -> dropped
+      input.addData(TsDoc(9, "aa", ts(2100)))
+      q.processAllAvailable()
+      assert(kept() === Set(1L, 2L, 4L, 5L, 7L, 8L))
+    } finally q.stop()
+  }
+
+  test("streamingExactDedupTtl: min doc_id wins within a micro-batch") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val input = MemoryStream[TsDoc](spark)
+    val q = CorpusStream.streamingExactDedupTtl(input.toDS(), ttlMs = 60000L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_dedup_ttl_minid").start()
+    try {
+      input.addData(TsDoc(9, "xx", ts(100)), TsDoc(4, "xx", ts(110)),
+        TsDoc(7, "xx", ts(90)))
+      q.processAllAvailable()
+      val rows = spark.table("stream_dedup_ttl_minid").as[Kept].collect()
+      assert(rows.map(_.doc_id).toSeq === Seq(4L))
     } finally q.stop()
   }
 }
