@@ -29,7 +29,7 @@ object Bench {
     "merge_upsert", "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_clusters", "simhash_sig",
     "doc_fingerprint", "ann_lsh_topk", "ann_topk", "ann_ivf_topk",
-    "embed_near_dup", "srp_near_dup",
+    "ann_sq_topk", "embed_near_dup", "srp_near_dup",
     "knn_join_indexed", "contamination", "vocab_topk", "curate_corpus",
     "text_quality", "lang_id", "media_decode", "span_fingerprint",
     "rel_polygons_stitched", "way_hull",

@@ -106,6 +106,18 @@ object TrainingQueries {
     "ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir).filter(col("vec_id") % QueryMod === 0),
         emb(s, dir), TopK, IvfCentroids, IvfProbe, EmbDim)),
+    // codes serialized to a ','-joined string (the minhash_sig idiom: the
+    // driver compare cannot hash an array column)
+    "sq_encode" -> ((s, dir) => {
+      val e = emb(s, dir).withColumn("n",
+        sqrt(graft.text.TextFunctions.dotSeq(col("embedding"), col("embedding"))))
+        .filter(col("n") > 0)
+      e.select(col("vec_id"),
+        array_join(Similarity.sqQuantize(col("embedding"), EmbDim), ",").as("q"))
+    }),
+    "ann_sq_topk" -> ((s, dir) =>
+      Similarity.sqTopK(emb(s, dir).filter(col("vec_id") % QueryMod === 0),
+        emb(s, dir), TopK, EmbDim)),
 
     "media_decode" -> ((s, dir) => Multimodal.decodeMeta(media(s, dir))),
     "media_frames" -> ((s, dir) =>
@@ -267,6 +279,15 @@ object TrainingQueries {
 
   private def pairCos(a: String, b: String): String =
     s"${sqlDotSeq(s"$a.e", s"$b.e", EmbDim)} / ($a.n * $b.n)"
+
+  /** int8 scalar-quantized codes of the normalized embeddings — the same
+   * ((c / n) * 127 -> floor -> clamp) double arithmetic as
+   * Similarity.sqQuantize, so the codes are bit-identical. */
+  private val sqzCte = s"""$embCte,
+    qz AS (SELECT vec_id,
+           [CAST(GREATEST(-127, LEAST(127, floor((CAST(e[i] AS DOUBLE) / n) * 127.0))) AS BIGINT)
+            for i in range(1, ${EmbDim + 1})] AS qv
+           FROM p)"""
 
   /** IVF centroid table (c, weight list, norm) as literal VALUES — the
    * SAME Scala doubles the engine folds over (toString round-trips). */
@@ -485,6 +506,23 @@ object TrainingQueries {
 
     "srp_bucket" -> s"""
       SELECT vec_id, ${bucketExpr("embedding")} AS bucket FROM embeddings""",
+
+    "sq_encode" -> s"""WITH $sqzCte
+      SELECT vec_id, array_to_string(qv, ',') AS q FROM qz""",
+
+    // integer dot of the quantized codes (exact BIGINT arithmetic; products
+    // bounded by 127^2 * dim), ranked DESC with vid tie-break
+    "ann_sq_topk" -> s"""WITH $sqzCte,
+      q AS (SELECT * FROM qz WHERE vec_id % $QueryMod = 0),
+      s AS (SELECT q.vec_id AS qid, t.vec_id AS vid,
+                   list_reduce(list_prepend(0::BIGINT,
+                     [q.qv[i] * t.qv[i] for i in range(1, ${EmbDim + 1})]),
+                     (x, y) -> x + y) AS score
+            FROM q CROSS JOIN qz t),
+      r AS (SELECT qid, vid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rank
+            FROM s)
+      SELECT qid, vid, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= $TopK""",
 
     "ivf_assign" -> s"""WITH $centsCte,
       sc AS (SELECT e.vec_id, c.c, ${sqlDotSeq("c.w", "e.embedding", EmbDim)} / c.cn AS s

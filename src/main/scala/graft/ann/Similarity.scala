@@ -117,6 +117,61 @@ object Similarity {
       .select(col("qid"), col("vid"), col("rank").cast("long").as("rank"))
   }
 
+  // ------------------------------------------------------- int8 SQ
+
+  /**
+   * int8 scalar quantization of the NORMALIZED embedding: each component of
+   * e/|e| (all in [-1, 1]) maps to `floor(c * 127)` — an integer in
+   * [-127, 127]. The 100 TB story: a float32 corpus column becomes int8, a
+   * 4x smaller scan (and the dot product integer multiply-adds), which is
+   * the difference between an embedding corpus that fits executor memory
+   * and one that doesn't; rank quality degrades by at most the quantization
+   * error (|c - q/127| < 1/127 per component). Every step is IEEE double
+   * division/multiplication plus floor, so the DuckDB oracle reproduces the
+   * codes bit-for-bit — no learned codebook to ship. Guards dim like
+   * [[srpBucket]] (a wrong-width embedding would silently quantize a
+   * prefix).
+   */
+  def sqQuantize(emb: Column, dim: Int): Column = {
+    val n = sqrt(dotSeq(emb, emb))
+    val q = transform(emb, c =>
+      greatest(lit(-127L), least(lit(127L),
+        floor(c.cast("double") / n * 127.0))))
+    when(size(emb) === dim, q).otherwise(raise_error(concat(
+      lit(s"sq_quantize: embedding dim != $dim, got "), size(emb).cast("string"))))
+  }
+
+  /**
+   * Top-k over int8-quantized vectors: rank by the INTEGER dot product of
+   * the quantized codes (exact arithmetic — products bounded by
+   * 127^2 * dim, no overflow), ties by vid. Same O(Q x N) shape and
+   * `maxQueries` contract as [[bruteTopK]] — the quantization buys scan
+   * bytes and multiply width, not asymptotics; compose with the IVF list
+   * pruning for both. Approximation note: scores are monotone in the
+   * quantized cosine, so recall vs [[bruteTopK]] degrades only within
+   * quantization error (exact on axis-aligned vectors — SimilaritySpec).
+   */
+  def sqTopK(queries: DataFrame, targets: DataFrame, k: Int, dim: Int = 64,
+             maxQueries: Long = 100000L): DataFrame = {
+    val nQ = queries.count()
+    require(nQ <= maxQueries,
+      s"sqTopK: $nQ query vectors exceed maxQueries=$maxQueries; " +
+        "prune lists first (IVF) or use lshTopK for large query sets")
+    def qz(df: DataFrame, idAs: String, qAs: String): DataFrame =
+      normed(df, idAs, "__e", "__n")
+        .select(col(idAs), sqQuantize(col("__e"), dim).as(qAs))
+    val q = qz(queries, "qid", "qq")
+    val t = qz(spread(targets), "vid", "tq")
+    val score = aggregate(zip_with(col("qq"), col("tq"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid"))
+    broadcast(q).crossJoin(t)
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vid"), col("rank").cast("long").as("rank"))
+  }
+
   // ------------------------------------------------------------- IVF
 
   /** Deterministic IVF coarse-quantizer centroid `c`, component `i`

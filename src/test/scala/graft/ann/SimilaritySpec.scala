@@ -99,6 +99,45 @@ class SimilaritySpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("srp_bucket")))
   }
 
+  test("sqQuantize: codes match the floor((c/n)*127) contract within int8 range") {
+    val rows = sample
+      .select(col("vec_id"), col("embedding"),
+        Similarity.sqQuantize(col("embedding"), 3).as("q"))
+      .as[(Long, Seq[Float], Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, e, q) =>
+      val n = math.sqrt(e.map(c => c.toDouble * c.toDouble).sum)
+      val expect = e.map(c => math.max(-127L, math.min(127L,
+        math.floor(c.toDouble / n * 127.0).toLong)))
+      assert(q === expect)
+      // dequantized code is within one quantization step of the component
+      q.zip(e).foreach { case (qi, c) =>
+        assert(math.abs(qi / 127.0 - c.toDouble / n) < 1.0 / 127.0 + 1e-12)
+      }
+      assert(q.forall(v => v >= -127L && v <= 127L))
+    }
+  }
+
+  test("sqQuantize raises on a dim mismatch instead of quantizing a prefix") {
+    val ex = intercept[Exception] {
+      sample.select(Similarity.sqQuantize(col("embedding"), 64).as("q")).collect()
+    }
+    assert(ex.getMessage.contains("sq_quantize") ||
+      Option(ex.getCause).exists(_.getMessage.contains("sq_quantize")))
+  }
+
+  test("sqTopK matches bruteTopK on axis-aligned vectors (exact quantization)") {
+    val axes = vecs(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)), (3L, Seq(0f, 0f, 1f)),
+      (4L, Seq(-1f, 0f, 0f)), (5L, Seq(2f, 0f, 0f))) // 5 normalizes to axis 1
+    val q = axes.filter($"vec_id" <= 2)
+    val sq = Similarity.sqTopK(q, axes, 5, dim = 3)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val brute = Similarity.bruteTopK(q, axes, 5)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(sq === brute && sq.size === 10)
+  }
+
   test("srpBucket: deterministic, equal for identical vectors") {
     val df = vecs((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f, 3f)), (3L, Seq(-1f, -2f, -3f)))
     val b = df.select(col("vec_id"), Similarity.srpBucket(col("embedding"), 8, 3).as("b"))
