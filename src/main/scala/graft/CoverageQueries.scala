@@ -175,6 +175,15 @@ object CoverageQueries {
         .select(col("way_id"), col("convex_hull"))
     }),
 
+    // F12: minimum-area oriented bounding box (st_obb / rotating projection
+    // over the hull) — the LAST golden-only geometry derivation, now under
+    // the DuckDB gate via the hull-ring recursive CTE + per-edge projection
+    "way_obb" -> ((s, dir) => {
+      prep(s, dir)
+      GeometryBuild.buildWayGeoms(s.table("way_members"), s.table("node_geoms"))
+        .select(col("way_id"), col("obb"))
+    }),
+
     // F12 area path: closed ways -> POLYGON + shoelace area
     "way_polygons" -> ((s, dir) => {
       prep(s, dir)
@@ -436,7 +445,10 @@ object CoverageQueries {
    * products use the identical formula and <= 0 strictness, so collinear
    * points drop identically and the final ring (closed, CCW, starting at
    * the lexicographic minimum) is bit-identical. */
-  private val hullOracle: String = {
+  /** Hull-ring CTE chain (through `ring`): Geo.convexHull's Andrew monotone
+   * chain as a recursive CTE — shared prelude of the `way_hull` and
+   * `way_obb` oracles. */
+  private val hullRingCtes: String = {
     val pt = "STRUCT(x DOUBLE, y DOUBLE)"
     // cross(o = hull[-2], a = hull[-1], b = pts[nxt]) — Geo.convexHull's
     // (a.x-o.x)*(b.y-o.y) - (a.y-o.y)*(b.x-o.x)
@@ -470,16 +482,73 @@ object CoverageQueries {
                     ELSE list_concat(lo.hull[1:len(lo.hull)-1], hi.hull) END AS ring
         FROM hpts p
         JOIN (SELECT way_id, hull FROM hdone WHERE side = 'lo') lo USING (way_id)
-        JOIN (SELECT way_id, hull FROM hdone WHERE side = 'hi') hi USING (way_id))
+        JOIN (SELECT way_id, hull FROM hdone WHERE side = 'hi') hi USING (way_id))"""
+  }
+
+  private val hullOracle: String = s"""$hullRingCtes
       SELECT way_id,
              'POLYGON((' || array_to_string(
                [printf('%.7f %.7f', q.x, q.y) for q in ring], ',') || '))' AS convex_hull
       FROM ring"""
+
+  /** DuckDB side of st_obb — Geo.obb's rotating-projection minimum-area
+   * rectangle over the recursive-CTE hull ring. Per hull edge e (skipping
+   * zero-length edges, exactly like the engine's `len > 0` guard): unit
+   * direction (c, s) = (dx, dy)/sqrt(dx²+dy²), rotated extremes over the
+   * ring vertices (the closing duplicate cannot move a min/max), area
+   * (x1-x0)*(y1-y0); the winner is min area with FIRST-edge tie-break
+   * (ORDER BY a, e = the engine's strict `a < bestArea` in ascending-e
+   * iteration), corners un-rotated with the identical (c·rx - s·ry,
+   * s·rx + c·ry) arithmetic. Degenerate single-point hulls (no nonzero
+   * edge) fall back to the 5×-repeated point, matching Geo.obb's m <= 1
+   * early return. */
+  private val obbOracle: String = {
+    def unrot(rx: String, ry: String) =
+      s"printf('%.7f %.7f', c * $rx - s * $ry, s * $rx + c * $ry)"
+    s"""$hullRingCtes,
+      oedge AS (
+        SELECT way_id, ring, unnest(generate_series(1, len(ring) - 1)) AS e
+        FROM ring),
+      odir AS (
+        SELECT way_id, ring, e,
+               (ring[e+1].x - ring[e].x) /
+                 sqrt((ring[e+1].x - ring[e].x) * (ring[e+1].x - ring[e].x)
+                    + (ring[e+1].y - ring[e].y) * (ring[e+1].y - ring[e].y)) AS c,
+               (ring[e+1].y - ring[e].y) /
+                 sqrt((ring[e+1].x - ring[e].x) * (ring[e+1].x - ring[e].x)
+                    + (ring[e+1].y - ring[e].y) * (ring[e+1].y - ring[e].y)) AS s
+        FROM oedge
+        WHERE sqrt((ring[e+1].x - ring[e].x) * (ring[e+1].x - ring[e].x)
+                 + (ring[e+1].y - ring[e].y) * (ring[e+1].y - ring[e].y)) > 0),
+      oext AS (
+        SELECT way_id, e, c, s,
+               list_min([c * q.x + s * q.y for q in ring]) AS x0,
+               list_max([c * q.x + s * q.y for q in ring]) AS x1,
+               list_min([-s * q.x + c * q.y for q in ring]) AS y0,
+               list_max([-s * q.x + c * q.y for q in ring]) AS y1
+        FROM odir),
+      obest AS (
+        SELECT way_id, c, s, x0, y0, x1, y1,
+               ROW_NUMBER() OVER (PARTITION BY way_id
+                 ORDER BY (x1 - x0) * (y1 - y0) ASC, e ASC) AS rn
+        FROM oext),
+      obbw AS (
+        SELECT way_id,
+               'POLYGON((' || ${unrot("x0", "y0")} || ',' ||
+                 ${unrot("x1", "y0")} || ',' || ${unrot("x1", "y1")} || ',' ||
+                 ${unrot("x0", "y1")} || ',' || ${unrot("x0", "y0")} || '))' AS obb
+        FROM obest WHERE rn = 1)
+      SELECT r.way_id,
+             coalesce(o.obb, 'POLYGON((' ||
+               repeat(printf('%.7f %.7f', r.ring[1].x, r.ring[1].y) || ',', 4) ||
+               printf('%.7f %.7f', r.ring[1].x, r.ring[1].y) || '))') AS obb
+      FROM ring r LEFT JOIN obbw o USING (way_id)"""
   }
 
   def oracleSql: Map[String, String] = Map(
     "rel_polygons_stitched" -> stitchedOracle,
     "way_hull" -> hullOracle,
+    "way_obb" -> obbOracle,
 
     "s1_osmchange_xml" -> {
       val rows = s1Recs.map(r =>
