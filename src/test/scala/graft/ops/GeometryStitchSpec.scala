@@ -144,6 +144,54 @@ class GeometryStitchSpec extends AnyFunSuite {
     assert(polys(1).contains("1.4000000 1.9000000"))  // square carries it
   }
 
+  test("PROPERTY: any segment permutation + reversal assembles the same area") {
+    // two outers (3x3 with an off-center 1x1 hole, plus a disjoint 1x1) —
+    // each ring split into 3 partial chains. 24 seeded-random trials permute
+    // member order AND reverse a random subset of segments; assembly must be
+    // invariant: 2 outer rings, 1 hole, area 9 - 1 + 1, stitch_clean. Ring
+    // ORDER in the WKT may legally vary with assembly order; the invariants
+    // are the counts, the area, and the clean flag. All trials ship as one
+    // DataFrame (one Spark job), rel_id = trial.
+    val outerA = Seq( // 8-node 3x3 square, nodes 1-8
+      (1L, 0.0, 0.0), (2L, 1.5, 0.0), (3L, 3.0, 0.0), (4L, 3.0, 1.5),
+      (5L, 3.0, 3.0), (6L, 1.5, 3.0), (7L, 0.0, 3.0), (8L, 0.0, 1.5))
+    val hole = Seq((11L, 0.5, 0.5), (12L, 1.5, 0.5), (13L, 1.5, 1.5), (14L, 0.5, 1.5))
+    val outerB = Seq((21L, 5.0, 0.0), (22L, 6.0, 0.0), (23L, 6.0, 1.0), (24L, 5.0, 1.0))
+    // split a closed cycle into 3 chains (consecutive, sharing endpoints)
+    def chains(cyc: Seq[(Long, Double, Double)]): Seq[Seq[(Long, Double, Double)]] = {
+      val closed = cyc :+ cyc.head
+      val cut1 = cyc.length / 3; val cut2 = 2 * cyc.length / 3
+      Seq(closed.slice(0, cut1 + 1), closed.slice(cut1, cut2 + 1),
+        closed.slice(cut2, closed.length))
+    }
+    val ringSegs: Seq[(String, Seq[Seq[(Long, Double, Double)]])] =
+      Seq("outer" -> chains(outerA), "inner" -> chains(hole),
+        "outer" -> chains(outerB))
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 24).flatMap { trial =>
+      val segs = ringSegs.flatMap { case (role, cs) => cs.map(c => (role, c)) }
+      val order = rnd.shuffle(segs.indices.toList)
+      order.zipWithIndex.flatMap { case (segIdx, posInRel) =>
+        val (role, seg0) = segs(segIdx)
+        val seg = if (rnd.nextBoolean()) seg0.reverse else seg0
+        seg.zipWithIndex.map { case ((nid, x, y), posInWay) =>
+          (trial.toLong, trial * 100L + segIdx, nid, posInWay + 1, x, y,
+            role, posInRel + 1)
+        }
+      }
+    }
+    val got = build(rows)
+    assert(got.length === 24)
+    got.foreach { case (rel, nOuter, nInner, area, wkt, clean) =>
+      assert(nOuter === 2L, s"trial $rel: nOuter")
+      assert(nInner === 1L, s"trial $rel: nInner")
+      assert(clean, s"trial $rel: stitch_clean")
+      assert(math.abs(area - 9.0) < 1e-9, s"trial $rel: area $area")
+      // the hole must be nested inside SOME outer polygon in the WKT
+      assert(wkt.contains("),("), s"trial $rel: hole not nested: $wkt")
+    }
+  }
+
   test("open chain force-closes with stitch_clean=false; non-way members ignored") {
     val rows = Seq(
       (3L, 1L, 1L, 1, 0.0, 0.0, "outer", 1),
