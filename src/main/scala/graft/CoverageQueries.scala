@@ -437,17 +437,16 @@ object CoverageQueries {
       JOIN frc f ON f.rel_id = o.rel_id"""
   }
 
-  /** DuckDB side of st_convex_hull — Geo.convexHull's Andrew monotone chain
-   * re-implemented as a recursive CTE (the proven stitch-oracle pattern: one
-   * push or pop per recursion level, every lambda single-level). Points are
-   * the %.7f-parsed way coordinates, globally deduplicated and sorted by
-   * (x, y) exactly like the engine's sortBy + consecutive-dedup; cross
-   * products use the identical formula and <= 0 strictness, so collinear
-   * points drop identically and the final ring (closed, CCW, starting at
-   * the lexicographic minimum) is bit-identical. */
   /** Hull-ring CTE chain (through `ring`): Geo.convexHull's Andrew monotone
-   * chain as a recursive CTE — shared prelude of the `way_hull` and
-   * `way_obb` oracles. */
+   * chain re-implemented as a recursive CTE (the proven stitch-oracle
+   * pattern: one push or pop per recursion level, every lambda
+   * single-level) — shared prelude of the `way_hull` and `way_obb`
+   * oracles. Points are the %.7f-parsed way coordinates, globally
+   * deduplicated and sorted by (x, y) exactly like the engine's sortBy +
+   * consecutive-dedup; cross products use the identical formula and <= 0
+   * strictness, so collinear points drop identically and the final ring
+   * (closed, CCW, starting at the lexicographic minimum) is
+   * bit-identical. */
   private val hullRingCtes: String = {
     val pt = "STRUCT(x DOUBLE, y DOUBLE)"
     // cross(o = hull[-2], a = hull[-1], b = pts[nxt]) — Geo.convexHull's

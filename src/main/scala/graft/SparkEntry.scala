@@ -34,6 +34,16 @@ object SparkEntry {
     dir.replaceAll("[^A-Za-z0-9_]", "_") + "_" + md5
   }
 
+  /** Stream-source scratch dirs are keyed by (sf dir, PROCESS): the write
+   * memo is per-JVM, so two concurrent JVMs (Verify alongside a Bench
+   * child) would otherwise rm-and-rewrite one shared dir while the other's
+   * FileStreamSource lists it — the same torn-read hazard ADVICE.md flagged
+   * for batch.osc, where single-file ATOMIC_MOVE sufficed but a 3-file dir
+   * has no atomic publish. Per-pid dirs cost nothing extra (each JVM
+   * already re-wrote the shared dir; contents are tiny and deterministic). */
+  private def streamTag(dir: String): String =
+    pathTag(dir) + "_p" + ProcessHandle.current().pid()
+
   /** kNN index built at most once per (JVM, sf dir) — within one run the
    * input is immutable, so rebuilds would only re-time identical work.
    * Keyed on the COLLISION-FREE pathTag (a collision between two sf dirs
@@ -80,8 +90,11 @@ object SparkEntry {
       val dst = java.nio.file.Paths.get(tmp, f"batch_$b%02d.parquet")
       java.nio.file.Files.move(part.toPath, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // strictly increasing mtimes pin micro-batch order (oldest-first)
-      dst.toFile.setLastModified(1700000000000L + b * 60000L)
+      // strictly increasing mtimes pin micro-batch order (oldest-first);
+      // the pin is load-bearing for the oracle's batch-index arithmetic,
+      // so a filesystem that refuses it must fail loudly, not reorder
+      require(dst.toFile.setLastModified(1700000000000L + b * 60000L),
+        s"setLastModified failed for $dst — micro-batch order would be undefined")
       rm(new java.io.File(stage))
     }
   }
@@ -351,7 +364,7 @@ object SparkEntry {
     "s27_stream_tile_counts" -> ((s, dir) => {
       prep(s, dir)
       val tag = pathTag(dir)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_$tag"
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_${streamTag(dir)}"
       // watermarks require TIMESTAMP (ltz); the parquet round-trip yields
       // TIMESTAMP_NTZ — cast under the session's UTC zone (lossless)
       val src = s.table("changes").filter(col("obj_type") === "node")
@@ -380,7 +393,7 @@ object SparkEntry {
     "s19_stream_dedup" -> ((s, dir) => {
       prep(s, dir)
       val tag = pathTag(dir)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_docs_$tag"
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_docs_${streamTag(dir)}"
       import s.implicits._
       val src = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -411,7 +424,7 @@ object SparkEntry {
     "s19_stream_dedup_multibatch" -> ((s, dir) => {
       prep(s, dir)
       val tag = pathTag(dir)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_docs_mb_$tag"
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_docs_mb_${streamTag(dir)}"
       import s.implicits._
       val src = s.table("stream_docs")
       writeStreamSrcOnce(tmp)(writeThreeBatchFiles(src, tmp))
@@ -440,7 +453,7 @@ object SparkEntry {
     "s19_stream_dedup_ttl" -> ((s, dir) => {
       prep(s, dir)
       val tag = pathTag(dir)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_docs_ttl_$tag"
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stream_docs_ttl_${streamTag(dir)}"
       import s.implicits._
       val src = s.table("stream_docs").select(col("doc_id"), col("text"),
         (lit(1704067200L) + (col("doc_id") % 3) * 600 + col("doc_id") % 47)

@@ -175,16 +175,30 @@ object DerivedTables {
   /** Streaming-dedup source with INJECTED exact duplicates: the raw
    * documents table has no duplicate texts at any sf, so a dedup gate over
    * it is trivially satisfiable. Clones of every 7th/5th doc get ids
-   * +10^6/+2*10^6 (collision-free at any sf; the offsets are ≡ 1 and 2
-   * mod 3, so a clone lands in a DIFFERENT micro-batch than its original
-   * under the multibatch split doc_id % 3 — the cross-batch first-seen
-   * keeper genuinely diverges from plain min(doc_id)). */
+   * shifted by o1/2*o1 where o1 is the smallest value > max(doc_id) with
+   * o1 ≡ 1 (mod 3) — data-derived, so collision-free at ANY sf (a fixed
+   * +10^6 offset collides with real ids once the table exceeds 10^6 docs,
+   * and the two fixed families collide with each other at the same scale:
+   * d+10^6 == d'+2*10^6 has solutions once ids span 10^6). o1 > max(id)
+   * keeps clones disjoint from originals; 2*o1 - o1 = o1 > max(id) keeps
+   * the two clone families disjoint from each other. The offsets stay
+   * ≡ 1 and 2 (mod 3), so a clone lands in a DIFFERENT micro-batch than
+   * its original under the multibatch split doc_id % 3 — the cross-batch
+   * first-seen keeper genuinely diverges from plain min(doc_id). */
   val streamDocsSql: String = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
     UNION ALL
-    SELECT CAST(doc_id + 1000000 AS BIGINT), text FROM documents WHERE doc_id % 7 = 0
+    SELECT CAST(doc_id + mo.o1 AS BIGINT), text
+    FROM documents, (SELECT CAST(MAX(doc_id) + 1
+                       + ((1 - (MAX(doc_id) + 1) % 3) + 3) % 3 AS BIGINT) AS o1
+                     FROM documents) mo
+    WHERE doc_id % 7 = 0
     UNION ALL
-    SELECT CAST(doc_id + 2000000 AS BIGINT), text FROM documents WHERE doc_id % 5 = 0"""
+    SELECT CAST(doc_id + 2 * mo.o1 AS BIGINT), text
+    FROM documents, (SELECT CAST(MAX(doc_id) + 1
+                       + ((1 - (MAX(doc_id) + 1) % 3) + 3) % 3 AS BIGINT) AS o1
+                     FROM documents) mo
+    WHERE doc_id % 5 = 0"""
 
   // --- multipolygon ring-stitching fixture (F12 residue, VERDICT.md #4):
   // 25 relations (from nation) whose OUTER rings are split across PARTIAL

@@ -617,8 +617,16 @@ object SpatialJoins {
                         broadcastThreshold: Long = 1L << 22): DataFrame = {
     val snap = snapshot
       .withColumnRenamed("lon", "snap_lon").withColumnRenamed("lat", "snap_lat")
-    val batchSide = if (nodeBatch.count() <= broadcastThreshold)
-      nodeBatch.hint("broadcast") else nodeBatch
+    // Materialize the batch ONCE before the gate count: a bare count() on
+    // the caller's plan would compute its full lineage (e.g. the j9
+    // caller's dedup window) and then the join would recompute the
+    // identical lineage — and a non-deterministic source could even show
+    // the gate and the join different data (review finding). One eager
+    // localCheckpoint is strictly cheaper than two full computations, and
+    // it is the same small side the join ships anyway.
+    val batch = nodeBatch.localCheckpoint()
+    val batchSide = if (batch.count() <= broadcastThreshold)
+      batch.hint("broadcast") else batch
     batchSide.join(snap, Seq("id"))
       .filter(col("lon") =!= col("snap_lon") || col("lat") =!= col("snap_lat"))
       .withColumn("tile_old", tile_id(col("snap_lon"), col("snap_lat"), lit(z)))

@@ -134,16 +134,23 @@ object ChangeStream {
     import changes.sparkSession.implicits._
     def better(a: Winner, b: Winner): Winner = {
       // null ts sorts SMALLEST, matching batch dedupLatestVersion's
-      // `ts.desc` (nulls last in a descending sort) — a raw
-      // a.ts.compareTo(b.ts) NPE'd on null timestamps, breaking the
-      // same-comparator-as-batch claim exactly there (ADVICE.md)
-      def tsKey(w: Winner): Long =
-        Option(w.ts).map(_.getTime).getOrElse(Long.MinValue)
-      val cmp =
-        if (a.version != b.version) a.version.compareTo(b.version)
-        else if (a.deleted != b.deleted) a.deleted.compareTo(b.deleted)
-        else if (tsKey(a) != tsKey(b)) tsKey(a).compareTo(tsKey(b))
-        else a.eid.compareTo(b.eid)
+      // `ts.desc` (nulls last in a descending sort). Non-null timestamps
+      // compare via Timestamp.compareTo, which is nanos-aware — Spark
+      // TimestampType carries microseconds, and a getTime (millis) key
+      // would tie two changes that batch `ts.desc` distinguishes,
+      // breaking the same-comparator-as-batch claim at sub-ms deltas
+      def tsCmp(x: java.sql.Timestamp, y: java.sql.Timestamp): Int =
+        if (x eq y) 0
+        else if (x == null) -1
+        else if (y == null) 1
+        else x.compareTo(y)
+      val cmp = {
+        val c0 =
+          if (a.version != b.version) a.version.compareTo(b.version)
+          else if (a.deleted != b.deleted) a.deleted.compareTo(b.deleted)
+          else tsCmp(a.ts, b.ts)
+        if (c0 != 0) c0 else a.eid.compareTo(b.eid)
+      }
       if (cmp >= 0) a else b
     }
     changes

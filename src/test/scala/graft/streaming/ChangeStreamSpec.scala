@@ -154,4 +154,37 @@ class ChangeStreamSpec extends AnyFunSuite {
         Set((3, 0, 2L), (3, 1, 3L)))
     } finally q.stop()
   }
+
+  test("latestVersionState matches batch comparator at sub-millisecond ts deltas and on null ts") {
+    // Spark TimestampType carries MICROSECONDS: batch dedupLatestVersion's
+    // `ts.desc` distinguishes two changes 1 µs apart, so the streaming
+    // comparator must too — a getTime (millis) tie-break key silently
+    // fell through to eid and picked the OTHER row (review finding).
+    val usA = new Timestamp(1700000000000L); usA.setNanos(2000) // +2 µs
+    val usB = new Timestamp(1700000000000L); usB.setNanos(1000) // +1 µs
+    val data = Seq(
+      // same version/deleted; ts favors eid=9, eid favors eid=10
+      Change(0, 9, "node", 71, 2, 0, usA, 1.0, 1.0),
+      Change(0, 10, "node", 71, 2, 0, usB, 2.0, 2.0),
+      // null ts sorts smallest: the non-null row wins despite smaller eid
+      Change(0, 20, "node", 72, 2, 0, null, 3.0, 3.0),
+      Change(0, 19, "node", 72, 2, 0, usB, 4.0, 4.0))
+
+    val batchWinners = graft.ops.ChangeBatch.dedupLatestVersion(
+      data.toDF().withColumnRenamed("objType", "obj_type"))
+      .select(col("id"), col("eid")).as[(Long, Long)].collect().toMap
+    assert(batchWinners === Map(71L -> 9L, 72L -> 19L))
+
+    val input = MemoryStream[Change](spark)
+    val q = ChangeStream.latestVersionState(input.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("lww_us_test").start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamWinners = spark.table("lww_us_test").as[Winner]
+        .collect().map(w => w.id -> w.eid).toMap
+      assert(streamWinners === batchWinners)
+    } finally q.stop()
+  }
 }

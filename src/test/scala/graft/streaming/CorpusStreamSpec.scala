@@ -11,6 +11,35 @@ class CorpusStreamSpec extends AnyFunSuite {
   lazy val spark = GraftSparkSession.spark
   import spark.implicits._
 
+  test("streamDocsSql clone ids stay collision-free past 10^6 documents") {
+    // The clone offsets are data-derived (smallest o1 > max(doc_id) with
+    // o1 % 3 == 1, second family at 2*o1): fixed +10^6/+2*10^6 offsets
+    // collided with real ids — and with each other — once the table
+    // crossed a million docs (review finding). Exercise exactly that
+    // scale shape with a sparse synthetic table.
+    val ids = Seq(0L, 3L, 7L, 21L, 35L, 999999L, 1000000L, 1000005L,
+      1500000L, 2000000L, 2000006L, 2500000L)
+    ids.map(i => (i, s"text_$i")).toDF("doc_id", "text")
+      .createOrReplaceTempView("documents")
+    try {
+      val out = spark.sql(graft.gen.DerivedTables.streamDocsSql)
+        .select($"doc_id".as[Long]).collect()
+      val expectedClones =
+        ids.count(_ % 7 == 0) + ids.count(_ % 5 == 0)
+      assert(out.length === ids.size + expectedClones)
+      // every id distinct: originals, family-1 and family-2 never collide
+      assert(out.distinct.length === out.length)
+      // offsets keep the %3 batch-shift contract: clones of d land in
+      // micro-batches (d+1)%3 and (d+2)%3
+      val m = ids.max
+      val o1 = (m + 1) + ((1 - (m + 1) % 3) + 3) % 3
+      assert(o1 % 3 === 1 && o1 > m)
+      val set = out.toSet
+      ids.filter(_ % 7 == 0).foreach(d => assert(set.contains(d + o1)))
+      ids.filter(_ % 5 == 0).foreach(d => assert(set.contains(d + 2 * o1)))
+    } finally { spark.catalog.dropTempView("documents"); () }
+  }
+
   test("streamingExactDedup: first-seen keeper per hash across micro-batches") {
     val input = MemoryStream[StreamDoc](spark)
     val q = CorpusStream.streamingExactDedup(input.toDS())
