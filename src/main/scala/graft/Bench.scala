@@ -25,7 +25,8 @@ object Bench {
 
   /** headline = the BASELINE.json metric suite; secondary = coverage. */
   val headline = Seq("pip_join", "knn_join", "tile_assign", "tile_join", "tile_histogram")
-  val secondary = Seq("tile_assign_ranged", "tile_cover_join", "tile_reassign_dirty", "cell_index", "o1_dedup_latest", "j3_dirty_ways", "way_geoms",
+  val secondary = Seq("tile_assign_ranged", "tile_cover_join", "tile_reassign_dirty", "cell_index",
+    "dist_join", "geo_cluster", "o1_dedup_latest", "j3_dirty_ways", "way_geoms",
     "merge_upsert", "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_clusters", "simhash_sig",
     "doc_fingerprint", "ann_lsh_topk", "ann_topk", "ann_ivf_topk",

@@ -228,6 +228,26 @@ object SparkEntry {
       s.table("points").select(col("pid").cast("long"),
         GraftFunctions.cell_encode(col("lon"), col("lat"), lit(12)).as("cell"))
     }),
+    // fixed-radius sibling of knn_join: everything within eps, cell-stencil
+    // equi-join + exact refine (the primitive under DBSCAN neighborhoods and
+    // POI conflation). eps=0.05 keeps a hot-box probe's output to its ~1e4
+    // genuine neighbors instead of the whole box.
+    "dist_join" -> ((s, dir) => {
+      prep(s, dir)
+      SpatialJoins.distJoin(s.table("query_points"), s.table("points"), eps = 0.05)
+        .select(col("qid").cast("long"), col("pid").cast("long"), col("dist"))
+    }),
+    // ε-connectivity clustering over the UNIFORM points only ((pid div 10) %
+    // 10 >= 3 is the generator's hot-box complement — the hot box at any eps
+    // is one dense blob whose ε-edge list is quadratic by definition, which
+    // is a property of the input, not the plan). Oracle: recursive-CTE
+    // min-label propagation over the identical edge set.
+    "geo_cluster" -> ((s, dir) => {
+      prep(s, dir)
+      val uniform = s.table("points").filter(expr("(pid div 10) % 10 >= 3"))
+      SpatialJoins.epsCluster(uniform, eps = 0.3)
+        .select(col("pid").cast("long"), col("cluster_id").cast("long"))
+    }),
 
     // --- change-batch pipeline (reference OsmChangeHandler semantics) ---
     "p1_classify" -> ((s, dir) => {
@@ -647,6 +667,44 @@ object SparkEntry {
     "cell_index" -> s"""${W("points")}
       SELECT CAST(pid AS BIGINT) AS pid, ${mortonOracle(12, "lon", "lat")} AS cell
       FROM points""",
+
+    // dist expression mirrors planar_dist's evaluation order exactly
+    // (dx = target - query, dx*dx + dy*dy, sqrt) so the doubles are
+    // bit-identical IEEE on both engines; the band predicates only speed
+    // DuckDB up (IEJoin) — the sqrt < eps refine decides membership.
+    "dist_join" -> s"""${W("query_points", "points")}
+      SELECT CAST(q.qid AS BIGINT) AS qid, CAST(p.pid AS BIGINT) AS pid,
+             sqrt((p.lon - q.qlon) * (p.lon - q.qlon)
+                + (p.lat - q.qlat) * (p.lat - q.qlat)) AS dist
+      FROM query_points q JOIN points p
+        ON p.lon > q.qlon - 0.05 AND p.lon < q.qlon + 0.05
+       AND p.lat > q.qlat - 0.05 AND p.lat < q.qlat + 0.05
+      WHERE sqrt((p.lon - q.qlon) * (p.lon - q.qlon)
+               + (p.lat - q.qlat) * (p.lat - q.qlat)) < 0.05""",
+
+    // min-label propagation as a recursive CTE: `lab` accumulates every
+    // smaller label reachable over the symmetric ε-edge set (the `label <
+    // id` prune only drops non-minimal propagation — the component minimum
+    // is below every other member, so it always reaches them); GROUP BY min
+    // then collapses to the component minimum, matching epsCluster's
+    // min-id canonical labels. Edge membership uses the identical sqrt
+    // expression as dist_join (squares are direction-exact under IEEE).
+    "geo_cluster" -> s"""${W("points").replaceFirst("^WITH ", "WITH RECURSIVE ")},
+      up AS (SELECT pid, lon, lat FROM points WHERE (pid // 10) % 10 >= 3),
+      e AS (
+        SELECT a.pid AS src, b.pid AS dst FROM up a JOIN up b
+          ON b.lon > a.lon - 0.3 AND b.lon < a.lon + 0.3
+         AND b.lat > a.lat - 0.3 AND b.lat < a.lat + 0.3
+        WHERE a.pid <> b.pid
+          AND sqrt((b.lon - a.lon) * (b.lon - a.lon)
+                 + (b.lat - a.lat) * (b.lat - a.lat)) < 0.3),
+      lab AS (
+        SELECT pid AS id, pid AS label FROM up
+        UNION
+        SELECT e.dst AS id, lab.label FROM lab JOIN e ON e.src = lab.id
+        WHERE lab.label < e.dst)
+      SELECT CAST(id AS BIGINT) AS pid, CAST(min(label) AS BIGINT) AS cluster_id
+      FROM lab GROUP BY id""",
 
     "p1_classify" -> s"""${W("changes")}
       SELECT eid, obj_type, id,

@@ -670,4 +670,80 @@ object SpatialJoins {
   def tileHistogram(points: DataFrame, z: Int, saltBuckets: Int = 16): DataFrame =
     saltedCount(tileAssign(points, z), col("tile_id"), saltBuckets)
       .withColumnRenamed("key", "tile_id")
+
+  /**
+   * Within-distance (ε-range) join: every (query, target) pair closer than
+   * `eps` in the planar degree metric (the kNN refine metric, so radius and
+   * rank queries agree on geometry). The fixed-radius sibling of [[knnJoin]]:
+   * kNN answers "nearest k whatever the distance", this answers "everything
+   * within r whatever the count" — the primitive under DBSCAN neighborhoods,
+   * map-matching gates, and POI conflation.
+   *
+   * Plan shape: targets get their home grid cell (cell width = eps, floor
+   * division); queries explode to the 3×3 neighbor cells; one equi-join on
+   * (cx, cy); codegen'd exact refine `planar_dist < eps`. Correctness: any
+   * pair with dist < eps differs by < eps per axis, so the target's home
+   * cell is within ±1 of the query's in both axes — the 3×3 stencil is a
+   * superset of every qualifying pair, and the refine is exact.
+   *
+   * Scale: the ×9 fan-out lands on the QUERY side — pass the smaller set as
+   * `queries`. The join is a plain two-column equi-join: Catalyst picks
+   * broadcast or shuffled-hash, AQE splits a hot cell (a mega-city at the
+   * chosen eps) at runtime. Nothing is quadratic except genuinely-dense
+   * neighborhoods, which ARE the output.
+   *
+   * @param queries (qid, qlon, qlat)
+   * @param targets (pid, lon, lat)
+   * @return (qid, pid, dist) — one row per pair with dist < eps
+   */
+  def distJoin(queries: DataFrame, targets: DataFrame, eps: Double): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    def cellOf(c: Column): Column = floor(c / lit(eps)).cast("long")
+    val t = targets
+      .withColumn("__cx", cellOf(col("lon")))
+      .withColumn("__cy", cellOf(col("lat")))
+    val q = queries
+      .withColumn("__cx", explode(sequence(cellOf(col("qlon")) - 1, cellOf(col("qlon")) + 1)))
+      .withColumn("__cy", explode(sequence(cellOf(col("qlat")) - 1, cellOf(col("qlat")) + 1)))
+    q.join(t, Seq("__cx", "__cy"))
+      .withColumn("dist", planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")))
+      .filter(col("dist") < lit(eps))
+      .select(col("qid"), col("pid"), col("dist"))
+  }
+
+  /**
+   * ε-connectivity clustering: points are in the same cluster iff they are
+   * linked by a chain of hops each shorter than `eps` — single-linkage with
+   * a distance threshold, i.e. DBSCAN's connectivity with every point core
+   * (minPts ≤ 2). Cluster id = the component's minimum pid (deterministic
+   * canonical representative, same policy as the dedup clusters).
+   *
+   * Plan shape: one [[distJoin]] self-join produces the ε-edge list (each
+   * undirected edge once, qid < pid), then the shared log-diameter
+   * connected-components kernel (neighbor-min + pointer jumping,
+   * graft.text.Corpus.connectedComponents) labels it. Isolated points never
+   * enter CC state — they are restored by one left join at the end, so CC
+   * memory is sized by the ε-GRAPH, not the corpus. The edge list is the
+   * only thing that can explode: a dense blob of n points within eps of
+   * each other emits O(n²) edges — choose eps below the blob scale or
+   * pre-aggregate coincident points; the operator itself never densifies.
+   *
+   * `pid` is the NODE identity: rows sharing a pid (a multi-location
+   * feature) contribute all their locations' edges to that one node, and
+   * the output carries one row per distinct pid — the id-keyed contract a
+   * MERGE-shaped consumer needs.
+   *
+   * @param points (pid, lon, lat)
+   * @return (pid, cluster_id) — one row per distinct pid
+   */
+  def epsCluster(points: DataFrame, eps: Double): DataFrame = {
+    val q = points.select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+    val edges = distJoin(q, points, eps)
+      .filter(col("qid") < col("pid"))
+      .select(col("qid").as("doc_a"), col("pid").as("doc_b"))
+    val comp = graft.text.Corpus.connectedComponents(edges)
+      .select(col("id").as("pid"), col("comp"))
+    points.select("pid").distinct().join(comp, Seq("pid"), "left_outer")
+      .select(col("pid"), coalesce(col("comp"), col("pid")).as("cluster_id"))
+  }
 }

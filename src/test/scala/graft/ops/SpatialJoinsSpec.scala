@@ -146,4 +146,45 @@ class SpatialJoinsSpec extends AnyFunSuite {
     val got = SpatialJoins.tileJoin(points, tiles, z = 6).select("pid").as[Long].collect().toSeq
     assert(got === Seq(1L))
   }
+
+  test("distJoin matches brute force, incl. cell-boundary and negative coords") {
+    val eps = 0.5
+    // deterministic scatter with points ON cell edges (multiples of eps),
+    // negative coordinates, and near-eps pairs in both axes
+    val tgt = (0 until 500).map { i =>
+      (i.toLong, (i * 7919 % 400) / 20.0 - 10.0, (i * 104729 % 400) / 20.0 - 10.0)
+    }
+    val qs = (0 until 60).map { i =>
+      (i.toLong, (i * 131 % 400) / 20.0 - 10.0 + 0.013 * (i % 3),
+        (i * 173 % 400) / 20.0 - 10.0 - 0.013 * (i % 5))
+    }
+    val got = SpatialJoins.distJoin(
+        qs.toDF("qid", "qlon", "qlat"), tgt.toDF("pid", "lon", "lat"), eps)
+      .select("qid", "pid").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (qid, qx, qy) <- qs
+      (pid, x, y) <- tgt
+      if math.sqrt((x - qx) * (x - qx) + (y - qy) * (y - qy)) < eps
+    } yield (qid, pid)).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+    // straddling pair: query at a cell corner, target in the diagonal cell
+    val corner = SpatialJoins.distJoin(
+      Seq((1L, 1.0, 1.0)).toDF("qid", "qlon", "qlat"),
+      Seq((9L, 0.9, 0.9)).toDF("pid", "lon", "lat"), eps = 0.5)
+    assert(corner.count() === 1)
+  }
+
+  test("epsCluster: chains merge, gaps split, isolated points self-label") {
+    // chain 10..14 spaced 0.4 < eps; blob {20,21} far away; isolated 30
+    val pts = Seq(
+      (10L, 0.0, 0.0), (11L, 0.4, 0.0), (12L, 0.8, 0.0), (13L, 1.2, 0.0),
+      (14L, 1.6, 0.0),
+      (20L, 50.0, 10.0), (21L, 50.3, 10.0),
+      (30L, -120.0, -40.0)).toDF("pid", "lon", "lat")
+    val got = SpatialJoins.epsCluster(pts, eps = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      14L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
 }
