@@ -699,10 +699,13 @@ object SpatialJoins {
   def distJoin(queries: DataFrame, targets: DataFrame, eps: Double): DataFrame = {
     require(eps > 0, s"eps must be positive, got $eps")
     def cellOf(c: Column): Column = floor(c / lit(eps)).cast("long")
-    val t = targets
+    // narrow both sides to the contract columns up front: a caller-side
+    // extra column named like the other side's (e.g. a `lon` on the query
+    // frame) would otherwise make the post-join refine ambiguous
+    val t = targets.select("pid", "lon", "lat")
       .withColumn("__cx", cellOf(col("lon")))
       .withColumn("__cy", cellOf(col("lat")))
-    val q = queries
+    val q = queries.select("qid", "qlon", "qlat")
       .withColumn("__cx", explode(sequence(cellOf(col("qlon")) - 1, cellOf(col("qlon")) + 1)))
       .withColumn("__cy", explode(sequence(cellOf(col("qlat")) - 1, cellOf(col("qlat")) + 1)))
     q.join(t, Seq("__cx", "__cy"))

@@ -173,6 +173,12 @@ class SpatialJoinsSpec extends AnyFunSuite {
       Seq((1L, 1.0, 1.0)).toDF("qid", "qlon", "qlat"),
       Seq((9L, 0.9, 0.9)).toDF("pid", "lon", "lat"), eps = 0.5)
     assert(corner.count() === 1)
+    // extra caller columns colliding with the other side's names must not
+    // make the refine ambiguous (inputs are narrowed to the contract)
+    val noisy = SpatialJoins.distJoin(
+      Seq((1L, 1.0, 1.0, 99.0)).toDF("qid", "qlon", "qlat", "lon"),
+      Seq((9L, 0.9, 0.9, 77.0)).toDF("pid", "lon", "lat", "qlat"), eps = 0.5)
+    assert(noisy.select("qid", "pid").as[(Long, Long)].collect().toSeq === Seq((1L, 9L)))
   }
 
   test("epsCluster: chains merge, gaps split, isolated points self-label") {
