@@ -33,7 +33,7 @@ object Bench {
     "ann_sq_topk", "embed_near_dup", "srp_near_dup",
     "knn_join_indexed", "contamination", "vocab_topk", "curate_corpus",
     "text_quality", "lang_id", "media_decode", "span_fingerprint",
-    "rel_polygons_stitched", "way_hull",
+    "rel_polygons_stitched", "way_hull", "way_obb",
     "s27_stream_tile_counts", "s19_stream_dedup", "s19_stream_dedup_multibatch",
     "s19_stream_dedup_ttl")
 
@@ -81,6 +81,15 @@ object Bench {
     val cmd = new java.util.ArrayList[String]()
     cmd.add(javaBin)
     jvmArgs.forEach(a => cmd.add(a))
+    // JIT code cache: Spark's whole-stage codegen fills the default 240 MB
+    // reserve within a few heavy plans, after which HotSpot stops compiling
+    // and driver-side loops fall to the interpreter — measured 30x on the
+    // CC fast path's union-find late in a session. build.sbt already sets
+    // 1g for sbt-forked runs (inherited above); this fallback covers a
+    // parent launched without it, and must not OVERRIDE a larger inherited
+    // value (the last occurrence of an -XX flag wins).
+    if (!jvmArgs.stream().anyMatch(_.startsWith("-XX:ReservedCodeCacheSize")))
+      cmd.add("-XX:ReservedCodeCacheSize=512m")
     cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
     cmd.add("graft.Bench")
     val pb = new ProcessBuilder(cmd)

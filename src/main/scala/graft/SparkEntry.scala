@@ -41,8 +41,39 @@ object SparkEntry {
    * for batch.osc, where single-file ATOMIC_MOVE sufficed but a 3-file dir
    * has no atomic publish. Per-pid dirs cost nothing extra (each JVM
    * already re-wrote the shared dir; contents are tiny and deterministic). */
-  private def streamTag(dir: String): String =
+  private def streamTag(dir: String): String = {
+    streamScratchHousekeeping // idempotent: hook + dead-pid prune, once per JVM
     pathTag(dir) + "_p" + ProcessHandle.current().pid()
+  }
+
+  /** Housekeeping for the pid-keyed scratch dirs (ADVICE.md r04): without
+   * it every JVM run leaks one small dir per (sf dir, stream source) into
+   * java.io.tmpdir. Two belts: a shutdown hook deletes THIS pid's dirs, and
+   * before each write we prune `graft_*_p<pid>` dirs whose owning pid is no
+   * longer alive (covers kill -9'd bench children whose hooks never ran).
+   * Registered lazily once per JVM. */
+  private lazy val streamScratchHousekeeping: Unit = {
+    def rmTree(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmTree))
+      p.delete(); ()
+    }
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val myPid = ProcessHandle.current().pid()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      Option(tmp.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith("graft_") && f.getName.endsWith("_p" + myPid))
+          rmTree(f)
+      })))
+    val deadPid = "^graft_.*_p(\\d+)$".r
+    Option(tmp.listFiles()).foreach(_.foreach { f =>
+      f.getName match {
+        case deadPid(pid) if pid.toLong != myPid &&
+          !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+          rmTree(f)
+        case _ => ()
+      }
+    })
+  }
 
   /** kNN index built at most once per (JVM, sf dir) — within one run the
    * input is immutable, so rebuilds would only re-time identical work.

@@ -113,8 +113,17 @@ object CorpusStream {
           else {
             val keeper = rows.minBy(_._1)
             val wm = state.getCurrentWatermarkMs()
-            if (state.exists && state.get > wm) Iterator.empty // keeper live
-            else {
+            if (state.exists && state.get > wm) {
+              // keeper live: drop the duplicate, but RE-ARM the eviction —
+              // Spark clears a group's timeout on every function invocation
+              // unless it is set again, so a hash that keeps receiving
+              // duplicates and then goes quiet would otherwise hold its
+              // state entry forever, breaking the bounded-state guarantee
+              // for exactly the hot-hash case it targets (ADVICE.md r04).
+              // Output is unaffected (liveness is re-checked manually above).
+              state.setTimeoutTimestamp(math.max(state.get, wm + 1L))
+              Iterator.empty
+            } else {
               val expiry = keeper._3.getTime + ttlMs
               state.update(expiry)
               // timeout timestamps must exceed the current watermark; a

@@ -61,6 +61,22 @@ object Corpus {
         .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
       .distinct()
       .localCheckpoint()
+    connectedComponentsSym(sym, maxIter, driverThreshold)
+  }
+
+  /**
+   * [[connectedComponents]] over an edge list that is ALREADY symmetric
+   * (both directions present) and self-loop-free — callers whose edge
+   * producer emits both directions natively (e.g. a spatial self-join,
+   * SpatialJoins.epsCluster) skip the union+distinct shuffle AND the double
+   * computation of the edge plan the union's two branches would each run.
+   * Duplicate (src, dst) rows are tolerated: every consumer below is a
+   * min-aggregation or a set insert, both idempotent. `sym` should be
+   * materialized (checkpoint/table) — the driver gate counts it and the CC
+   * rounds rescan it.
+   */
+  def connectedComponentsSym(sym: DataFrame, maxIter: Int = 50,
+                             driverThreshold: Long = 1L << 20): DataFrame = {
     // Size-gated driver fast path (same shape as SpatialJoins' small-corpus
     // branch): a dup graph under `driverThreshold` edges closes in one
     // union-find pass instead of paying per-iteration Spark-job latency —
@@ -69,25 +85,50 @@ object Corpus {
     // the DUPLICATE-PAIR graph, never the corpus.
     val nEdges = sym.count()
     if (nEdges <= driverThreshold) {
-      val edges = sym.select(col("src"), col("dst"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      // Primitive-array union-find (sorted-id dictionary + int parent array,
+      // union by min id via index order): the boxed HashMap version's
+      // allocation churn ran up to 30x slower late in a JVM's life once
+      // Spark codegen filled the JIT code cache and call sites degraded —
+      // the primitive loop has no allocation and no megamorphic dispatch, so
+      // it stays ~0.3 s at the gate's million-edge bound regardless of JVM
+      // age (VERDICT.md r04 #3 profile).
+      val edgeRows = sym.select(col("src"), col("dst")).collect()
+      val m = edgeRows.length
+      val all = new Array[Long](2 * m)
+      var i = 0
+      while (i < m) {
+        val r = edgeRows(i)
+        all(2 * i) = r.getLong(0); all(2 * i + 1) = r.getLong(1)
+        i += 1
+      }
+      val ids = all.clone()
+      java.util.Arrays.sort(ids)
+      var n = 0; var j = 0
+      while (j < ids.length) {
+        if (n == 0 || ids(n - 1) != ids(j)) { ids(n) = ids(j); n += 1 }
+        j += 1
+      }
+      val parent = new Array[Int](n)
+      i = 0; while (i < n) { parent(i) = i; i += 1 }
+      def find(x0: Int): Int = {
+        var r = x0
+        while (parent(r) != r) r = parent(r)
+        var c = x0
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      edges.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      i = 0
+      while (i < m) {
+        val a = java.util.Arrays.binarySearch(ids, 0, n, all(2 * i))
+        val b = java.util.Arrays.binarySearch(ids, 0, n, all(2 * i + 1))
         val (ra, rb) = (find(a), find(b))
+        // ids is ascending, so smaller index = smaller id: rooting the
+        // larger index under the smaller keeps every root the component min
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        i += 1
       }
-      // min-id labels: union-by-min above already makes every root the
-      // component minimum (parents only ever decrease toward the min id)
-      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
-      val spark = pairs.sparkSession
+      val rows = (0 until n).map(ix => (ids(ix), ids(find(ix))))
+      val spark = sym.sparkSession
       import spark.implicits._
       return rows.toDF("id", "comp")
     }

@@ -181,6 +181,47 @@ class SpatialJoinsSpec extends AnyFunSuite {
     assert(noisy.select("qid", "pid").as[(Long, Long)].collect().toSeq === Seq((1L, 9L)))
   }
 
+  test("epsCluster matches driver-side brute force, both CC paths, boundary coords") {
+    // deterministic scatter including points ON cell edges (multiples of
+    // eps) and negative coords — the half-stencil's cross-cell uniqueness
+    // and same-cell qid<pid dedup are exactly what boundary points stress
+    val eps = 0.5
+    val pts = (0 until 300).map { i =>
+      (i.toLong, (i * 7919 % 200) / 10.0 - 10.0, (i * 104729 % 200) / 10.0 - 10.0)
+    }
+    // brute-force expected clusters: union-find over all pairs dist < eps
+    val parent = scala.collection.mutable.Map((0 until 300).map(i => (i.toLong, i.toLong)): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (a, ax, ay) <- pts; (b, bx, by) <- pts
+      if a < b && math.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) < eps
+    } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = pts.map { case (p, _, _) => p -> find(p) }.toMap
+    val df = pts.toDF("pid", "lon", "lat")
+    val fast = SpatialJoins.epsCluster(df, eps).as[(Long, Long)].collect().toMap
+    assert(fast === want)
+    // the >gate distributed CC loop (threshold 0 forces it) must agree
+    val dist = SpatialJoins.epsCluster(df, eps, ccDriverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === want)
+    assert(want.values.toSet.size > 1 && want.exists { case (k, v) => k != v })
+  }
+
+  test("epsCluster: multi-location pid bridges clusters, no self-loops, one row per pid") {
+    // pid 5 sits at BOTH (0,0) and (10,0): it bridges the two chains into
+    // one component even though no single hop crosses the gap
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 0.3, 0.0),
+      (5L, 0.0, 0.1), (5L, 10.0, 0.0),
+      (8L, 10.3, 0.0), (9L, 10.6, 0.0)).toDF("pid", "lon", "lat")
+    val got = SpatialJoins.epsCluster(pts, eps = 0.5).as[(Long, Long)].collect()
+    assert(got.length === 5) // one row per DISTINCT pid
+    assert(got.toMap === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 8L -> 1L, 9L -> 1L))
+  }
+
   test("epsCluster: chains merge, gaps split, isolated points self-label") {
     // chain 10..14 spaced 0.4 < eps; blob {20,21} far away; isolated 30
     val pts = Seq(

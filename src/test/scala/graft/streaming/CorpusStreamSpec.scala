@@ -117,6 +117,40 @@ class CorpusStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingExactDedupTtl: hot hash that receives a dup is still evicted (bounded state)") {
+    // ADVICE.md r04 (medium): Spark clears a group's timeout on every
+    // invocation unless re-set; the duplicate-drop branch must RE-ARM it or
+    // a hash that gets a dup then goes quiet keeps its state forever. The
+    // observable is the state-store row count in streaming progress.
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val input = MemoryStream[TsDoc](spark)
+    val q = CorpusStream.streamingExactDedupTtl(input.toDS(), ttlMs = 300000L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_dedup_ttl_evict").start()
+    def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
+    try {
+      // b1: hot kept (expiry 1300)
+      input.addData(TsDoc(1, "hot", ts(1000)))
+      q.processAllAvailable()
+      assert(stateRows === 1L)
+      // b2: duplicate of hot -> dropped; THE invocation that used to clear
+      // the timeout without re-arming it
+      input.addData(TsDoc(2, "hot", ts(1010)))
+      q.processAllAvailable()
+      // b3: unrelated key far in the future; watermark entering the NEXT
+      // batch becomes 5000, far past hot's 1300 expiry
+      input.addData(TsDoc(3, "other", ts(5000)))
+      q.processAllAvailable()
+      // b4: another unrelated key triggers timeout processing at wm=5000;
+      // hot (quiet since b2) must FIRE and be removed -> state holds only
+      // `other` and `filler`
+      input.addData(TsDoc(4, "filler", ts(5010)))
+      q.processAllAvailable()
+      assert(stateRows === 2L,
+        s"hot hash state entry was not evicted (state rows = $stateRows)")
+    } finally q.stop()
+  }
+
   test("streamingExactDedupTtl: min doc_id wins within a micro-batch") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
     val input = MemoryStream[TsDoc](spark)
