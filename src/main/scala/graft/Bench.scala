@@ -7,19 +7,32 @@ import graft.gen.SyntheticScale
 import graft.ops.SpatialJoins
 
 /**
- * Benchmark main. Two parts, one JSON line out:
+ * Benchmark main. Stages, in grade-priority order, one JSON line out:
  *
- *  1. sf-dir suite: every headline query timed once against
- *     `SPARK_GRAFT_SF_DIR` at `SPARK_GRAFT_CPUS` (default 32) — the driver's
- *     per-round feedback loop. `value` stays "total seconds" for
- *     comparability; per-query seconds, output rows and join-output rows/sec
- *     ride along.
+ *  1. scaling study (skip with SPARK_GRAFT_SCALING=0): the SAME synthetic
+ *     job (PIP + kNN + tile suite over SyntheticScale input) at local[lo]
+ *     and local[hi] — the sandbox evidence for the north rule's N -> 4N
+ *     executor criterion. Reports throughput at both and efficiency =
+ *     (T_hi/T_lo) / (hi/lo).
+ *  2. sf-dir suite: every headline query timed against `SPARK_GRAFT_SF_DIR`
+ *     at `SPARK_GRAFT_CPUS` (default 32) — the driver's per-round feedback
+ *     loop. `value` stays "total seconds" for comparability; per-query
+ *     seconds, output rows and join-output rows/sec ride along.
+ *  3. a SECOND, reduced-point run of the same study pair ("scaling_small",
+ *     VERDICT.md r04 #4) corroborating the gate in windows where the full
+ *     study can't finish cleanly.
+ *  4. the (cpus/8, cpus/2) bus-ceiling exhibit ("scaling_alt"), context
+ *     only, when budget remains.
  *
- *  2. scaling study (skip with SPARK_GRAFT_SCALING=0): the SAME synthetic
- *     job (PIP + kNN + tile suite over SyntheticScale input, default 2M
- *     points) at local[lo] and local[hi] — the sandbox evidence for the
- *     north rule's N -> 4N executor criterion. Reports throughput at both
- *     and efficiency = (T_hi/T_lo) / (hi/lo).
+ * EVERYTHING runs under one global wall clock (SPARK_GRAFT_TOTAL_BUDGET_S,
+ * default 2040 s): the r03 and r04 driver-side bench runs were both KILLED
+ * at the driver's time limit before the summary ever printed (VERDICT.md
+ * r04 #1 — "two rounds of lost artifacts"). The study is SIZED to the
+ * window up front (host pre-probe -> points/rounds), the suite degrades
+ * attempts rather than dropping queries as the deadline nears, and both
+ * BENCH_LOCAL.json and BENCH_SUMMARY.json are (re)written after every
+ * completed unit of work, so a kill at any minute leaves everything
+ * gathered up to that minute on disk.
  */
 object Bench {
 
@@ -36,6 +49,19 @@ object Bench {
     "rel_polygons_stitched", "way_hull", "way_obb",
     "s27_stream_tile_counts", "s19_stream_dedup", "s19_stream_dedup_multibatch",
     "s19_stream_dedup_ttl")
+
+  /** Queries measured SOLO in their own fresh JVM: the headline metric set
+   * (pristine measurement) plus queries heavy enough that the ~25 s
+   * JVM+session overhead is small against their runtime. Everything else
+   * runs grouped `SPARK_GRAFT_SUITE_GROUP` (default 5) per child: 41 solo
+   * children cost ~17 min of pure JVM/session spin-up — the single biggest
+   * reason the r04 driver bench never finished — while a 5-group child
+   * amortizes one spin-up over 5 queries. In-child JIT contamination at <=5
+   * plans/JVM is bounded by the enlarged code cache (spawnChild) and was
+   * measured within attempt noise for the short queries grouped here; every
+   * query still gets its own per-attempt steal reading and min-of-attempts.
+   */
+  val solo: Set[String] = headline.toSet ++ Set("geo_cluster", "knn_join_indexed")
 
   private def withSession[T](cpus: Int)(f: SparkSession => T): T = {
     val spark = SparkSession.builder()
@@ -66,8 +92,6 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** (steal ticks, total ticks) from /proc/stat — the host-noise probe both
-   * the scaling study and the suite key their retries on. */
   /** Spawn a fresh graft.Bench child JVM (same JVM args + classpath) with
    * extra env, return (exit code, stdout lines). Fresh JVMs are the unit of
    * measurement everywhere in Bench: a long-lived session accumulates
@@ -101,6 +125,8 @@ object Bench {
     (p.waitFor(), out)
   }
 
+  /** (steal ticks, total ticks) from /proc/stat — the host-noise probe both
+   * the scaling study and the suite key their retries on. */
   private def cpuStat(): (Long, Long) =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
@@ -123,7 +149,7 @@ object Bench {
     // stays a bounded share of the job instead of being the job.
     val nQueries = math.min(2000L, math.max(500L, nPoints / 5000))
     val pts = SyntheticScale.points(spark, nPoints)
-    // 6000 x 48-vertex irregular polygons: realistic per-candidate ray-cast
+    // 16000 x 48-vertex irregular polygons: realistic per-candidate ray-cast
     // work, and enough of it that the job's cycles are FLOPs, not byte
     // traffic. (4-vertex rectangles made the job memory-streaming-bound;
     // and after the topk_min/sampled-histogram kNN optimizations the rest
@@ -142,7 +168,8 @@ object Bench {
       r
     }
     val pip = phase("pip")(SpatialJoins.pipJoin(pts, polys).count())
-    val knn = phase("knn")(SpatialJoins.knnJoin(queries, pts, k = 5).count())
+    val knn = phase("knn")(SpatialJoins.knnJoin(queries, pts, k = 5,
+      queryCountHint = Some(nQueries)).count())
     val hist = phase("hist")(SpatialJoins.tileHistogram(pts, z = 6)
       .agg(sum("cnt")).collect()(0).getLong(0))
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
@@ -159,17 +186,6 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
-    // big enough that distributed compute dominates the fixed per-job costs
-    // (driver round-trips, whole-stage codegen compilation, broadcasts) —
-    // Amdahl caps measurable efficiency when the job is under ~2 min at the
-    // hi level regardless of how well the operators scale. Measured on this
-    // code: the kNN stage carries ~20 s of parallelism-independent driver
-    // latency (~10 jobs x scheduling+codegen), so at 200M points (74 s lo /
-    // 33 s hi) the study reads 0.56 even though every corpus-sized stage
-    // scales ~4x; at 1B points (507 s lo / 108 s hi) the fixed share is
-    // < 5% of the hi run and the study reads >= 0.8 with margin. The rule's
-    // regime is hour-long cluster jobs, i.e. the compute-dominated end.
-    val scalePoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_POINTS", "1000000000").toLong
     // The study pair is (cpus/16, cpus/4) = 2 vs 8 on the 32-thread VM —
     // still the north rule's N vs 4N, positioned where this host's SHARED
     // DRAM BUS does not cap the measurement: the bus's streaming scaling
@@ -191,6 +207,7 @@ object Bench {
     // degrade JIT state), which would corrupt the lo-vs-hi comparison.
     // Fresh JVMs also mirror the north rule's per-cluster-size spark-submit.
     sys.env.get("SPARK_GRAFT_SCALING_CHILD").foreach { c =>
+      val childPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_POINTS", "1000000000").toLong
       // Host-ceiling probes run HERE, on this fresh clean heap, at the
       // attempt's own thread count and moment: a DRAM-streaming sweep and
       // a pure-FLOP sweep. (The old parent-side probe ran after the full
@@ -200,77 +217,170 @@ object Bench {
       val dram = graft.util.HostProbe.memSweep(c.toInt)
       val flops = graft.util.HostProbe.computeSweep(c.toInt)
       val (rows, sec) = withSession(c.toInt) { s =>
-        scalingJob(s, 50000); time(scalingJob(s, scalePoints))
+        scalingJob(s, 50000); time(scalingJob(s, childPoints))
       }
       println(f"SCALING_CHILD $rows $sec $dram%.1f $flops%.1f")
       return
     }
 
-    // suite child mode: ONE query, fresh JVM — benchPrepare untimed, two
-    // attempts (first doubles as this plan's codegen warmup), a third only
-    // when both are dirty/failed. Attempts stream to stdout for the parent.
-    sys.env.get("SPARK_GRAFT_SUITE_CHILD").foreach { name =>
+    // suite child mode: a COMMA-SEPARATED list of queries, fresh JVM — per
+    // query: benchPrepare untimed, two attempts (first doubles as that
+    // plan's codegen warmup), a third only when both are dirty/failed.
+    // Deadline degradation (set by the parent): SPARK_GRAFT_SUITE_ATTEMPTS=1
+    // forces single attempts; SPARK_GRAFT_SUITE_TIGHT=1 skips the second
+    // attempt when the first was clean and already sub-1.5 s (a sub-second
+    // cold reading is fine evidence for a sub-second query; VERDICT.md r04
+    // #1 fix c). Attempts stream to stdout tagged with the query name.
+    sys.env.get("SPARK_GRAFT_SUITE_CHILD").foreach { nameList =>
       val stealMaxC = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "0.04").toDouble
+      val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_SUITE_ATTEMPTS", "2").toInt
+      val tight = sys.env.getOrElse("SPARK_GRAFT_SUITE_TIGHT", "0") == "1"
       withSession(cpus) { spark =>
-        try SparkEntry.benchPrepare.get(name).foreach(p => p(spark, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name prepare failed: ${e.getMessage}") }
-        def attempt(): (Double, Long, Double) = {
-          val (s0, t0) = cpuStat()
-          val (rows, sec) =
-            try time(SparkEntry.queries(name)(spark, sfDir).count())
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}"); (-1L, -1.0) }
-          val (s1, t1) = cpuStat()
-          (sec, rows, (s1 - s0).toDouble / math.max(1L, t1 - t0))
+        nameList.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
+          // unpersist only RDDs THIS query creates (operator-internal
+          // localCheckpoints), so grouped queries don't accumulate blocks
+          val keepIds = spark.sparkContext.getPersistentRDDs.keySet
+          try SparkEntry.benchPrepare.get(name).foreach(p => p(spark, sfDir))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name prepare failed: ${e.getMessage}") }
+          def attempt(): (Double, Long, Double) = {
+            val (s0, t0) = cpuStat()
+            val (rows, sec) =
+              try time(SparkEntry.queries(name)(spark, sfDir).count())
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] $name failed: ${e.getMessage}"); (-1L, -1.0) }
+            val (s1, t1) = cpuStat()
+            (sec, rows, (s1 - s0).toDouble / math.max(1L, t1 - t0))
+          }
+          val a1 = attempt()
+          val skipSecond = maxAttempts < 2 ||
+            (tight && a1._2 >= 0 && a1._1 < 1.5 && a1._3 <= stealMaxC)
+          val all =
+            if (skipSecond) Seq(a1)
+            else {
+              val a2 = attempt()
+              if (Seq(a1, a2).forall(a => a._2 < 0 || a._3 > stealMaxC) && !tight)
+                Seq(a1, a2, attempt())
+              else Seq(a1, a2)
+            }
+          all.foreach { case (sec, rows, steal) =>
+            println(f"SUITE_ATTEMPT $name $sec%.6f $rows $steal%.6f") }
+          spark.sparkContext.getPersistentRDDs
+            .filterNot { case (id, _) => keepIds(id) }.values.foreach(_.unpersist(false))
         }
-        val a1 = attempt(); val a2 = attempt()
-        val all =
-          if (Seq(a1, a2).forall(a => a._2 < 0 || a._3 > stealMaxC))
-            Seq(a1, a2, attempt())
-          else Seq(a1, a2)
-        all.foreach { case (sec, rows, steal) =>
-          println(f"SUITE_ATTEMPT $sec%.6f $rows $steal%.6f") }
       }
       return
     }
 
-    // ---- part 1: sf-dir suite (skip with SPARK_GRAFT_SUITE=0).
-    // Storm-robustness (VERDICT.md r02 #1): the r02 driver window charged
-    // pip_join 48.6 s for a query that runs in 7.2 s locally on identical
-    // code — this host's minute-scale steal/bus storms make any SINGLE
-    // timing a coin flip. Same discipline as the scaling study now:
-    //  - one fresh child JVM per query (see spawnChild — a shared session
-    //    charges late queries for the session's accumulated codegen, not
-    //    their plan);
-    //  - EVERY query runs twice, first attempt = that plan's codegen
-    //    warmup, min-of-attempts picked, all attempts recorded;
-    //  - per-attempt /proc/stat steal measured and recorded per query; a
-    //    third attempt only when both were DIRTY (steal above
-    //    SPARK_GRAFT_STEAL_MAX — keyed on measured environment noise,
-    //    never on the measured time).
-    // Best attempt per query = fastest non-failed (host noise is strictly
-    // one-sided: it only slows runs down).
+    // ================= parent orchestration =================
+    // GLOBAL WALL-CLOCK BUDGET (VERDICT.md r04 #1: the r03 AND r04 driver
+    // bench runs were killed at the driver's limit — rc 124, no summary).
+    // Default 2040 s (34 min) sits safely inside the ~50-min driver window
+    // r03 barely fit, leaving room for sbt/JVM spin-up around this main.
+    val totalBudgetS = sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET_S", "2040").toDouble
+    val tGlobal = System.nanoTime()
+    def gElapsed: Double = (System.nanoTime() - tGlobal) / 1e9
+    def gRemaining: Double = totalBudgetS - gElapsed
+
+    // ---- stage 0: host pre-probe (~3 s). The same DRAM/FLOP sweeps the
+    // scaling children record, run once up front at the gate pair's lo
+    // thread count: their ratio to healthy-window reference readings sizes
+    // the study BEFORE any attempt is spent. The parent JVM is fresh here
+    // (no Spark session yet), so the clean-heap requirement holds.
+    val probeDram = graft.util.HostProbe.memSweep(cpusLo, 1.5)
+    val probeFlops = graft.util.HostProbe.computeSweep(cpusLo, 1.5)
+    // healthy-window references, measured on this VM in steal-clean windows
+    // (BASELINE.md r05); env-overridable if the fleet hardware changes
+    val dramRef = sys.env.getOrElse("SPARK_GRAFT_DRAM_REF", "1300").toDouble
+    val flopsRef = sys.env.getOrElse("SPARK_GRAFT_FLOPS_REF", "1000").toDouble
+    // the scaling job is built FLOP-dominated (~3/4 ray-cast refine) but its
+    // scans still ride the bus: weight the two ceilings accordingly. r04's
+    // congested driver window read dram at 0.5x ref with flops near ref and
+    // ran the job ~2x slow — the dram term carries most of the signal.
+    val windowSlow = math.min(3.0, math.max(1.0,
+      0.6 * (dramRef / math.max(1.0, probeDram)) +
+        0.4 * (flopsRef / math.max(1.0, probeFlops))))
+    System.err.println(f"[bench] pre-probe dram=$probeDram%.0f/s flops=$probeFlops%.0f/s " +
+      f"window_slow=$windowSlow%.2f budget=${totalBudgetS}%.0fs")
+
+    // per-point healthy-window cost model for the scaling job (seconds per
+    // point at the lo/hi level, measured on this code in a steal-clean
+    // window; env-overridable). Used ONLY to size the study to the window —
+    // never to compute any reported number.
+    val perPointLo = sys.env.getOrElse("SPARK_GRAFT_PPL", "1.1e-6").toDouble
+    val perPointHi = sys.env.getOrElse("SPARK_GRAFT_PPH", "4.0e-7").toDouble
+    val fixedAttemptS = 45.0 // JVM + session + 50k warmup + probes per child
+    def attemptCost(points: Long, lo: Boolean): Double =
+      points * (if (lo) perPointLo else perPointHi) * windowSlow + fixedAttemptS
+
+    // suite reserve: one fresh child per solo query + one per group of
+    // grouped queries; ~28 s spin-up each plus measured-at-sf0.1 query time
+    val groupN = sys.env.getOrElse("SPARK_GRAFT_SUITE_GROUP", "5").toInt
     val doSuite = sys.env.getOrElse("SPARK_GRAFT_SUITE", "1") != "0"
-    // Default: one fresh child JVM per query (same unit of measurement as
-    // the scaling study). Measured in-process: queries run 20+ plans into
-    // one session read 1.7-4x their fresh-JVM warm time (knn_join_indexed
-    // 11.2 s late-session vs 2.8 s fresh; accumulated codegen classloaders
-    // degrade JIT state) — i.e. the old suite charged late queries for the
-    // session's history, not their plan. SPARK_GRAFT_SUITE_FRESH_JVM=0
-    // restores the shared-session path.
-    val freshJvm = sys.env.getOrElse("SPARK_GRAFT_SUITE_FRESH_JVM", "1") != "0"
-    val suiteStealMax = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "0.04").toDouble
-    val names = if (!doSuite) Seq.empty
+    val allNames = if (!doSuite) Seq.empty
       else (headline ++ secondary).filter(SparkEntry.queries.contains)
+    // batches preserve list order: solo queries alone, consecutive grouped
+    // queries chunked groupN per child
+    val batches: Seq[Seq[String]] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      allNames.foreach { n =>
+        if (solo(n)) { if (acc.nonEmpty) { b += acc.toSeq; acc.clear() }; b += Seq(n) }
+        else { acc += n; if (acc.size >= groupN) { b += acc.toSeq; acc.clear() } }
+      }
+      if (acc.nonEmpty) b += acc.toSeq
+      b.toSeq
+    }
+    val suiteReserveS =
+      batches.size * 28.0 * math.min(windowSlow, 1.6) + 170.0 * windowSlow
+    // the reduced-point corroboration pair (stage 3) gets its own reserve so
+    // the main study cannot eat it (VERDICT.md r04 #4: both measurements)
+    val smallPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_POINTS_SMALL", "250000000").toLong
+    val smallReserveS =
+      if (doScaling) attemptCost(smallPoints, lo = true) + attemptCost(smallPoints, lo = false)
+      else 0.0
+
+    // ---- study sizing: largest (points, rounds) whose SYMMETRIC FLOOR
+    // attempts fit the window's study budget. Points beat rounds in the
+    // ordering: the job carries ~20 s of parallelism-independent driver
+    // latency per attempt, so smaller points cap the measurable efficiency
+    // (Amdahl: ~0.94 at 1B, ~0.90 at 500M, ~0.82 at 250M even for perfect
+    // operators) — the gate pair wants the biggest job the window can
+    // finish, with the small pair (stage 3) as the always-affordable second
+    // measurement. Env overrides pin points/rounds explicitly.
+    val studyBudgetS = math.max(0.0,
+      sys.env.get("SPARK_GRAFT_SCALING_BUDGET_S").map(_.toDouble)
+        .getOrElse(gRemaining - suiteReserveS - smallReserveS - 40.0))
+    val (scalePoints, rounds) = {
+      val pinnedP = sys.env.get("SPARK_GRAFT_SCALE_POINTS").map(_.toLong)
+      val pinnedR = sys.env.get("SPARK_GRAFT_SCALING_ROUNDS").map(_.toInt)
+      def floorCost(p: Long, r: Int): Double =
+        math.min(2, r) * (attemptCost(p, lo = true) + attemptCost(p, lo = false))
+      (pinnedP, pinnedR) match {
+        case (Some(p), Some(r)) => (p, r)
+        case _ =>
+          val candidates = for {
+            p <- pinnedP.map(Seq(_)).getOrElse(Seq(1000000000L, 500000000L, 250000000L))
+            r <- pinnedR.map(Seq(_)).getOrElse(Seq(3, 2, 1))
+          } yield (p, r)
+          candidates.find { case (p, r) => floorCost(p, r) <= studyBudgetS }
+            .getOrElse((pinnedP.getOrElse(250000000L), pinnedR.getOrElse(1)))
+      }
+    }
+    System.err.println(f"[bench] plan: study points=$scalePoints rounds=$rounds " +
+      f"(study_budget=${studyBudgetS}%.0fs suite_reserve=${suiteReserveS}%.0fs " +
+      f"small_reserve=${smallReserveS}%.0fs batches=${batches.size})")
+
+    val suiteStealMax = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "0.04").toDouble
     final case class QAttempt(sec: Double, rows: Long, steal: Double)
 
-    // Emit the summary BOTH as a plain stdout line and as a file: the round
+    // Emit the summary BOTH as a plain stdout line and as files: the round
     // driver's machine gate failed to parse r01's line when sbt's logger
-    // prefixed it ("parsed": null in BENCH_r01.json). The file is immune to
-    // any log-prefix plumbing, and it is (re)written after EVERY completed
-    // suite query and after every scaling attempt — a driver timeout at any
-    // minute leaves the evidence gathered up to that minute on disk.
+    // prefixed it ("parsed": null in BENCH_r01.json) and missed r03/r04
+    // entirely when the process was killed first. BENCH_LOCAL.json (full)
+    // and BENCH_SUMMARY.json (compact, < 1 KB) are both (re)written after
+    // EVERY completed suite child, scaling attempt, and stage transition —
+    // a driver timeout at any minute leaves the evidence on disk.
     val benchOutPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     def best(as: Seq[QAttempt]): QAttempt = {
       val ok = as.filter(_.rows >= 0)
@@ -299,91 +409,47 @@ object Bench {
         s""""join_output_rows_per_sec":$headThroughput,"cpus":$cpus,"sf":"$sfEsc"$scaling}"""
     }
     val resultsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[QAttempt])]
-    def writeJson(s: String): Unit =
+    def writeJson(path: String, s: String): Unit =
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(benchOutPath), s + "\n")
-      catch { case e: Throwable => System.err.println(s"[bench] write $benchOutPath failed: $e") }
-    // the scaling fragment embedded in every (partial) summary write; set
-    // by the study below, re-set after the alt exhibit completes
+        java.nio.file.Paths.get(path), s + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] write $path failed: $e") }
+    // the scaling fragment embedded in every (partial) summary write; reset
+    // as the study / small pair / alt exhibit complete
     var scalingStr = ""
-    def writeSummary(): Unit = writeJson(suiteJson(resultsBuf.toSeq, scalingStr))
-
-    // EXECUTION ORDER is by grade priority, so a driver-side timeout at any
-    // minute leaves the most important evidence on disk: (1) the scaling
-    // study (the hard ≥0.8 gate), (2) the suite with the headline queries
-    // first (the throughput metric), (3) the (4,16) alt exhibit (context
-    // only). Every stage checkpoints the JSON as it goes.
-    def runSuite(): Unit = if (freshJvm) names.foreach { name =>
-      val (rc, out) = spawnChild(Map(
-        "SPARK_GRAFT_SUITE_CHILD" -> name,
-        "SPARK_GRAFT_SF_DIR" -> sfDir,
-        "SPARK_GRAFT_CPUS" -> cpus.toString))
-      val attempts = out.collect { case l if l.startsWith("SUITE_ATTEMPT ") =>
-        val f = l.split(" "); QAttempt(f(1).toDouble, f(2).toLong, f(3).toDouble)
-      }
-      val as =
-        if (attempts.nonEmpty) attempts
-        else {
-          System.err.println(s"[bench] $name child produced no attempts, rc=$rc")
-          Seq(QAttempt(-1.0, -1L, 0.0))
-        }
-      as.foreach(a => System.err.println(
-        f"[bench] $name%-22s ${a.sec}%8.2f s  ${a.rows}%10d rows steal=${a.steal * 100}%.1f%%"))
-      resultsBuf += (name -> as)
-      writeSummary()
+    def compactJson(): String = {
+      val picked = resultsBuf.toSeq.map { case (n, as) => n -> best(as) }
+      val total = picked.map(_._2.sec).filter(_ >= 0).sum
+      val headPicked = picked.filter(r => headline.contains(r._1))
+      val headRows = headPicked.map(_._2.rows).filter(_ >= 0).sum
+      val headSec = headPicked.map(_._2.sec).filter(_ >= 0).sum
+      val thr = if (headSec > 0) headRows / headSec else 0.0
+      val qs = headPicked.map { case (k, a) => f""""$k":${a.sec}%.2f""" }
+        .mkString("{", ",", "}")
+      // pull the gate numbers back out of the scaling fragment rather than
+      // re-deriving them (the fragment is the single source of truth)
+      def grab(key: String): String =
+        s""""$key":(-?[0-9.]+)""".r.findFirstMatchIn(scalingStr)
+          .map(_.group(1)).getOrElse("null")
+      val eff = grab("efficiency")
+      val effMed = grab("efficiency_median")
+      val effHost = grab("efficiency_hostrel")
+      val effSmall = s""""scaling_small":\\{[^}]*"efficiency":(-?[0-9.]+)""".r
+        .findFirstMatchIn(scalingStr).map(_.group(1)).getOrElse("null")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${picked.size},""" +
+        f""""join_output_rows_per_sec":$thr%.1f,"queries":$qs,""" +
+        s""""scaling_efficiency":$eff,"scaling_efficiency_median":$effMed,""" +
+        s""""scaling_efficiency_hostrel":$effHost,"scaling_small_efficiency":$effSmall,""" +
+        s""""scaling_pass":${if (eff == "null") "null" else (eff.toDouble >= 0.8).toString},""" +
+        f""""elapsed_s":${gElapsed}%.0f,"cpus":$cpus,"sf":"$sfEsc","full":"BENCH_LOCAL.json"}"""
     }
-    else withSession(cpus) { spark =>
-      // JIT/codegen warmup so the first timed query isn't charged for
-      // cold compilation (same discipline as the scaling study)
-      try scalingJob(spark, 50000)
-      catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      names.foreach { name =>
-        // unpersist only the RDDs THIS query created (operator-internal
-        // localCheckpoints): a blanket unpersist would truncate the lineage
-        // of any table a shared fixture may cache in the future (ADVICE.md)
-        val keepIds = spark.sparkContext.getPersistentRDDs.keySet
-        // out-of-band setup (index builds) runs untimed: the deployed shape
-        // pays it per corpus version, not per query batch
-        try SparkEntry.benchPrepare.get(name).foreach(p => p(spark, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name prepare failed: ${e.getMessage}") }
-        def attempt(): QAttempt = {
-          val (s0, t0) = cpuStat()
-          val (rows, sec) =
-            try time(SparkEntry.queries(name)(spark, sfDir).count())
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}"); (-1L, -1.0) }
-          val (s1, t1) = cpuStat()
-          val a = QAttempt(sec, rows, (s1 - s0).toDouble / math.max(1L, t1 - t0))
-          System.err.println(f"[bench] $name%-22s ${a.sec}%8.2f s  ${a.rows}%10d rows " +
-            f"steal=${a.steal * 100}%.1f%%")
-          a
-        }
-        // EVERY query gets two attempts, not just headline ones: the first
-        // pays whole-stage-codegen compilation (measured 5-13x the warm
-        // execution for the short corpus queries — e.g. dedup_minhash_lsh
-        // 8.96 s cold vs 1.2 s warm in a fresh JVM), which at warehouse
-        // scale is fixed overhead amortized to zero, not operator cost.
-        // min-of-attempts charges execution; the JSON records every attempt
-        // so the compile-vs-run split stays visible. A third attempt only
-        // when both readings are dirty/failed (storm discipline unchanged —
-        // retry keys on measured steal, never on the result).
-        val a1 = attempt()
-        val a2 = attempt()
-        val attempts =
-          if (Seq(a1, a2).forall(a => a.rows < 0 || a.steal > suiteStealMax))
-            Seq(a1, a2, attempt())
-          else Seq(a1, a2)
-        spark.sparkContext.getPersistentRDDs
-          .filterNot { case (id, _) => keepIds(id) }.values.foreach(_.unpersist(false))
-        resultsBuf += (name -> attempts)
-        writeSummary()
-      }
+    def writeSummary(): Unit = {
+      writeJson(benchOutPath, suiteJson(resultsBuf.toSeq, scalingStr))
+      writeJson("BENCH_SUMMARY.json", compactJson())
     }
 
     // ---- stage 1: scaling study (same job, same input, lo vs hi
     // parallelism, each measured in its own fresh JVM; see child mode above)
+    var runSmallPair: () => Unit = () => ()
     var runAltExhibit: () => Unit = () => ()
     var renderScaling: () => String = () => ""
     if (doScaling) {
@@ -393,9 +459,10 @@ object Bench {
       // window recorded local[32] 1.4x SLOWER than local[8]). Methodology:
       //   - a FIXED number of interleaved lo/hi rounds, alternating order
       //     (lo,hi / hi,lo / ...) so both levels sample the same host
-      //     conditions and slow drift cancels. The round count never depends
-      //     on the measured efficiency — a pass-conditioned stopping rule
-      //     would bias the report upward (ADVICE.md).
+      //     conditions and slow drift cancels. The round count is sized to
+      //     the WINDOW up front (pre-probe), never to the measured
+      //     efficiency — a pass-conditioned stopping rule would bias the
+      //     report upward (ADVICE.md).
       //   - per-attempt host-steal measurement from /proc/stat; an attempt
       //     with steal above SPARK_GRAFT_STEAL_MAX is DIRTY: it is retried
       //     (budget permitting) and only used if no clean attempt exists.
@@ -403,8 +470,10 @@ object Bench {
       //     resulting efficiency value.
       //   - keep the fastest CLEAN attempt per level (host noise is strictly
       //     one-sided: it only slows runs down).
-      //   - a wall-clock budget bounds the whole study.
-      def measuredOnce(cpus: Int, points: Long = scalePoints): (Long, Double, Double, Double) = {
+      //   - SYMMETRIC floors (ADVICE.md r02): both levels get the same
+      //     guaranteed attempt count — min(2, rounds) — so noise cannot
+      //     help one side of the ratio more than the other.
+      def measuredOnce(cpus: Int, points: Long): (Long, Double, Double, Double) = {
         val (rc, outLines) = spawnChild(Map(
           "SPARK_GRAFT_SCALING_CHILD" -> cpus.toString,
           "SPARK_GRAFT_SCALE_POINTS" -> points.toString))
@@ -419,43 +488,30 @@ object Bench {
       // quiet periods (measured via /proc/stat deltas); 0.02 marked every
       // attempt of a full study dirty. 0.04 sits above ambient but below
       // the 6%+ storms that actually corrupt timings.
-      val stealMax = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "0.04").toDouble
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
-      // SYMMETRIC attempt floors (ADVICE.md r02, medium): the r02 shape —
-      // best-of-2 hi vs best-of-1 lo — let noise only HELP the reported
-      // efficiency (a noisy-slow single lo raises the very ratio the >=0.8
-      // gate is judged on, and r02 recorded a physically implausible 1.056
-      // from exactly that asymmetry). Both levels now get TWO guaranteed
-      // attempts even over budget, the per-level pick (fastest clean) is
-      // symmetric, and the median-of-clean efficiency is reported alongside
-      // the best-of efficiency. Budget sized for the full 2 lo + 2 hi
-      // schedule at 1B points (~2x17 + 2x4 min): the budget is crossed right
-      // after the 4th floor attempt, so extra schedule rounds / top-ups only
-      // run when earlier attempts were fast or dirty. The bench JSON is
-      // (re)written after every attempt, so a hard kill mid-study still
-      // leaves the latest complete lo/hi evidence on disk.
-      val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "2200").toDouble
+      val stealMax = suiteStealMax
+      val t0 = System.nanoTime()
+      def elapsed = (System.nanoTime() - t0) / 1e9
       final case class Attempt(cpus: Int, rows: Long, sec: Double, steal: Double,
                                dram: Double, flops: Double) {
         def clean: Boolean = steal <= stealMax
         def thr: Double = rows / sec
       }
-      val t0 = System.nanoTime()
-      def elapsed = (System.nanoTime() - t0) / 1e9
       val attempts = scala.collection.mutable.ArrayBuffer.empty[Attempt]
-      // second pair exhibit (VERDICT.md r02 #8b) — filled in after the study
+      // stage-3 / stage-4 exhibits fill these fragments after the study
+      var smallJson = ""
       var altJson = ""
-      def attemptAt(cpus: Int): Attempt = {
+      def attemptAt(buf: scala.collection.mutable.ArrayBuffer[Attempt],
+                    cpus: Int, points: Long, tag: String): Attempt = {
         val (st0, tot0) = cpuStat()
-        val (rows, sec, dram, flops) = measuredOnce(cpus)
+        val (rows, sec, dram, flops) = measuredOnce(cpus, points)
         val (st1, tot1) = cpuStat()
         val steal = (st1 - st0).toDouble / math.max(1L, tot1 - tot0)
         val a = Attempt(cpus, rows, sec, steal, dram, flops)
-        attempts += a
+        buf += a
         System.err.println(
-          f"[bench] scaling cpus=$cpus attempt=${attempts.size} sec=$sec%.2f " +
+          f"[bench] $tag cpus=$cpus attempt=${buf.size} sec=$sec%.2f " +
             f"host_steal=${steal * 100}%.1f%% clean=${a.clean} " +
-            f"dram=$dram%.0f/s flops=$flops%.0f/s elapsed=${elapsed}%.0fs")
+            f"dram=$dram%.0f/s flops=$flops%.0f/s elapsed=${gElapsed}%.0fs")
         a
       }
       // per-level pick = fastest CLEAN attempt (host noise is strictly
@@ -483,8 +539,8 @@ object Bench {
       // frequency/neighbor effects steal doesn't see). Pairing the globally
       // fastest lo with the globally fastest hi compares different hosts in
       // all but name (r02's cross-window pairing produced a physically
-      // implausible 1.056; tonight's produced 0.72 from a lo and a hi that
-      // never shared a window). A ROUND = two consecutive attempts at
+      // implausible 1.056; a later one produced 0.72 from a lo and a hi
+      // that never shared a window). A ROUND = two consecutive attempts at
       // opposite levels — exactly what the interleaved schedule emits,
       // alternating order so neither level systematically gets the fresher
       // slot. Round efficiency is two-sided w.r.t. noise (a slow lo
@@ -554,7 +610,7 @@ object Bench {
         val hLo = chosen.map(_._1).getOrElse(bestLo)
         val hHi = chosen.map(_._2).getOrElse(bestHi)
         val hostJson = f""""host":{"dram_lo":${hLo.dram}%.1f,"dram_hi":${hHi.dram}%.1f,"flops_lo":${hLo.flops}%.1f,"flops_hi":${hHi.flops}%.1f}"""
-        f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":$secLo%.3f,"sec_hi":$secHi%.3f,"rows_per_sec_lo":$thrLo%.1f,"rows_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMed%.3f,"efficiency_hostrel":$effHostRel%.3f,"efficiency_bestattempt":$effAttempt%.3f,"efficiency_median_bestattempt":$effMedAttempt%.3f,"rounds_paired":$roundsJson,"partial":$partial,"steal_max":$stealMax,"rounds":$rounds,$hostJson,"attempts":$attemptsJson}$altJson"""
+        f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":$secLo%.3f,"sec_hi":$secHi%.3f,"rows_per_sec_lo":$thrLo%.1f,"rows_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMed%.3f,"efficiency_hostrel":$effHostRel%.3f,"efficiency_bestattempt":$effAttempt%.3f,"efficiency_median_bestattempt":$effMedAttempt%.3f,"rounds_paired":$roundsJson,"partial":$partial,"steal_max":$stealMax,"rounds":$rounds,"window_slow":$windowSlow%.2f,$hostJson,"attempts":$attemptsJson}$smallJson$altJson"""
       }
       // persist progress after every attempt once both levels have data —
       // a timeout/kill mid-study must not zero the round's scaling evidence
@@ -570,23 +626,21 @@ object Bench {
       // hi unmeasured entirely. Instead: run the full schedule first (every
       // level gets its interleaved attempts), THEN spend any remaining
       // budget topping up levels that still lack a clean attempt. Each
-      // level is guaranteed TWO attempts even over budget (symmetric floors
-      // — see the budget note above).
-      val schedule = (1 to rounds).flatMap(r =>
-        if (r % 2 == 0) Seq(cpusHi, cpusLo) else Seq(cpusLo, cpusHi))
-      // a failed child (OOM, spawn error) must not kill the study — skip the
-      // attempt, keep the evidence gathered so far, let the floors/top-ups
-      // try again; pick() still fails loudly if a level ends with NO attempt
+      // level is guaranteed min(2, rounds) attempts even over budget
+      // (symmetric floors — the pre-probe already sized rounds to the
+      // window, so a 1-round study in a slow window is deliberate).
       def tryAttempt(c: Int): Unit =
-        try { attemptAt(c); checkpointScaling() }
+        try { attemptAt(attempts, c, scalePoints, "scaling"); checkpointScaling() }
         catch { case e: Throwable =>
           System.err.println(s"[bench] scaling attempt (cpus=$c) failed: $e") }
+      val schedule = (1 to rounds).flatMap(r =>
+        if (r % 2 == 0) Seq(cpusHi, cpusLo) else Seq(cpusLo, cpusHi))
       for (c <- schedule) {
-        val mustRun = attempts.count(_.cpus == c) < 2
-        if (mustRun || elapsed < budgetS) tryAttempt(c)
+        val mustRun = attempts.count(_.cpus == c) < math.min(2, rounds)
+        if (mustRun || elapsed < studyBudgetS) tryAttempt(c)
       }
       var topUps = 0
-      while (topUps < 4 && elapsed < budgetS &&
+      while (topUps < 4 && elapsed < studyBudgetS &&
         Seq(cpusLo, cpusHi).exists(c => !attempts.exists(a => a.cpus == c && a.clean))) {
         // alternate lo/hi among the levels still lacking a clean attempt
         val dirtyLevels = Seq(cpusLo, cpusHi)
@@ -595,72 +649,95 @@ object Bench {
         topUps += 1
       }
 
-      // ---- second pair exhibit (VERDICT.md r02 #8b): the bus-limited
-      // (4,16) pair recorded IN the JSON with its own host probes, so a
-      // reader sees the DRAM-bus-ceiling story (why the gate pair is (2,8))
-      // from the evidence itself rather than BASELINE.md prose. Runs at a
-      // reduced point count (default scalePoints/4) to fit the leftover
-      // budget; 2 attempts per level, interleaved, same clean/pick rules.
-      // This block is an EXHIBIT, not the gate metric — it is emitted under
-      // a separate "scaling_alt" key and never feeds "efficiency".
-      // The main study's symmetric floors alone can cross budgetS (2 lo
-      // attempts at 1B points are ~17 min each), so the exhibit gets a small
-      // GRACE window of its own: its 2 floor attempts (~4 min at points/4)
-      // run if the study finished within budget+grace; its top-up attempts
-      // only on leftover main budget. The partial-scaling checkpoint is
-      // already on disk before this block, so a driver kill mid-exhibit
-      // loses only the exhibit.
-      val doAlt = sys.env.getOrElse("SPARK_GRAFT_SCALING_ALT", "1") != "0"
-      // grace sized for a degraded-bus window: the 4 floor attempts at 1B
-      // points run ~42 min in a good window but ~55 in a slow one, and the
-      // exhibit's own 2 floor attempts are only ~5 min at points/4 — a
-      // tight grace would drop the exhibit exactly when the window is most
-      // worth documenting
-      val altGraceS = sys.env.getOrElse("SPARK_GRAFT_SCALING_ALT_GRACE_S", "1500").toDouble
-      // the exhibit runs AFTER the suite (lowest grade priority — see the
-      // ordering note above runSuite), so its window is judged on the
-      // STUDY's own elapsed time, not wall-clock including the suite
-      val studyElapsed = elapsed
-      runAltExhibit = () => if (doAlt && studyElapsed < budgetS + altGraceS) {
-        // EVERYTHING including env parsing sits inside the try: the exhibit
-        // is documented non-fatal, so a malformed SPARK_GRAFT_SCALING_CPUS_ALT
-        // must not crash main after the suite (review finding)
+      // ---- stage 3 (run after the suite): the REDUCED-POINT (lo,hi) pair
+      // (VERDICT.md r04 #4) — the same gate pair at smallPoints, one
+      // interleaved round + dirty top-up, under its own reserved budget, so
+      // every window ships at least one affordable second measurement of
+      // the gate ratio. Emitted under "scaling_small"; the per-attempt
+      // fixed overhead (~20 s driver latency) caps its ceiling at ~0.82-0.9
+      // even for perfect operators, which is why it corroborates the main
+      // study rather than replacing it (note in the JSON).
+      runSmallPair = () => if (smallPoints < scalePoints) {
         try {
-        val (altLo, altHi) = sys.env.get("SPARK_GRAFT_SCALING_CPUS_ALT") match {
-          case Some(s) => val Array(l, h) = s.split(","); (l.trim.toInt, h.trim.toInt)
-          case None => (math.max(1, cpus / 8), math.max(2, cpus / 2))
-        }
-        val altPoints =
-          sys.env.get("SPARK_GRAFT_SCALE_POINTS_ALT").map(_.toLong)
-            .getOrElse(scalePoints / 4)
-        val alt = scala.collection.mutable.ArrayBuffer.empty[Attempt]
-        def altAttempt(c: Int): Unit = {
-          val (st0, tot0) = cpuStat()
-          val (rows, sec, dram, flops) = measuredOnce(c, altPoints)
-          val (st1, tot1) = cpuStat()
-          val steal = (st1 - st0).toDouble / math.max(1L, tot1 - tot0)
-          alt += Attempt(c, rows, sec, steal, dram, flops)
-          System.err.println(
-            f"[bench] scaling_alt cpus=$c sec=$sec%.2f host_steal=${steal * 100}%.1f%% " +
-              f"dram=$dram%.0f/s flops=$flops%.0f/s elapsed=${elapsed}%.0fs")
-        }
-          // symmetric floors here too: both levels get their first attempt
-          // unconditionally, second attempts only inside the budget
-          Seq(altLo, altHi, altHi, altLo).zipWithIndex.foreach { case (c, i) =>
-            if (i < 2 || studyElapsed < budgetS) altAttempt(c)
+          val small = scala.collection.mutable.ArrayBuffer.empty[Attempt]
+          def go(c: Int): Unit =
+            try { attemptAt(small, c, smallPoints, "scaling_small") }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] small attempt (cpus=$c) failed: $e") }
+          go(cpusLo); go(cpusHi)
+          // one dirty top-up each, only with global budget to spare
+          Seq(cpusLo, cpusHi).foreach { c =>
+            if (!small.exists(a => a.cpus == c && a.clean) &&
+              gRemaining > attemptCost(smallPoints, c == cpusLo)) go(c)
           }
-          def bestOf(c: Int): Attempt = {
-            val mine = alt.filter(_.cpus == c).toSeq
+          def bestOf(c: Int): Option[Attempt] = {
+            val mine = small.filter(_.cpus == c).toSeq
             val clean = mine.filter(_.clean)
-            (if (clean.nonEmpty) clean else mine).minBy(_.sec)
+            (if (clean.nonEmpty) clean else mine).sortBy(_.sec).headOption
           }
-          val (bl, bh) = (bestOf(altLo), bestOf(altHi))
-          val effA = (bh.thr / bl.thr) / (altHi.toDouble / altLo)
-          val attemptsJ = alt.map(a =>
-            f"""{"cpus":${a.cpus},"sec":${a.sec}%.3f,"steal":${a.steal}%.4f,"clean":${a.clean},"dram":${a.dram}%.1f,"flops":${a.flops}%.1f}""")
-            .mkString("[", ",", "]")
-          altJson =
-            f""","scaling_alt":{"points":$altPoints,"cpus_lo":$altLo,"cpus_hi":$altHi,"sec_lo":${bl.sec}%.3f,"sec_hi":${bh.sec}%.3f,"rows_per_sec_lo":${bl.thr}%.1f,"rows_per_sec_hi":${bh.thr}%.1f,"efficiency":$effA%.3f,"host":{"dram_lo":${bl.dram}%.1f,"dram_hi":${bh.dram}%.1f,"flops_lo":${bl.flops}%.1f,"flops_hi":${bh.flops}%.1f},"attempts":$attemptsJ,"note":"bus-ceiling exhibit at (cpus/8,cpus/2): the shared-DRAM host caps scan-shaped scaling at this pair; the gate metric is the uncontended (cpus/16,cpus/4) pair above"}"""
+          (bestOf(cpusLo), bestOf(cpusHi)) match {
+            case (Some(bl), Some(bh)) =>
+              val eff = (bh.thr / bl.thr) / (cpusHi.toDouble / cpusLo)
+              val attemptsJ = small.map(a =>
+                f"""{"cpus":${a.cpus},"sec":${a.sec}%.3f,"steal":${a.steal}%.4f,"clean":${a.clean},"dram":${a.dram}%.1f,"flops":${a.flops}%.1f}""")
+                .mkString("[", ",", "]")
+              smallJson =
+                f""","scaling_small":{"points":$smallPoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":${bl.sec}%.3f,"sec_hi":${bh.sec}%.3f,"rows_per_sec_lo":${bl.thr}%.1f,"rows_per_sec_hi":${bh.thr}%.1f,"efficiency":$eff%.3f,"host":{"dram_lo":${bl.dram}%.1f,"dram_hi":${bh.dram}%.1f,"flops_lo":${bl.flops}%.1f,"flops_hi":${bh.flops}%.1f},"attempts":$attemptsJ,"note":"same gate pair at reduced points — corroborating second measurement; ~20s/attempt fixed driver latency caps its ceiling below the main study's"}"""
+            case _ =>
+              System.err.println("[bench] small pair incomplete; skipping fragment")
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] scaling_small failed (non-fatal): $e")
+        }
+      }
+
+      // ---- stage 4 (last): the bus-limited (cpus/8, cpus/2) pair recorded
+      // IN the JSON with its own host probes, so a reader sees the
+      // DRAM-bus-ceiling story (why the gate pair is (2,8)) from the
+      // evidence itself rather than BASELINE.md prose. Strictly
+      // leftover-budget: 2 attempts per level only while the global clock
+      // allows, starting only if the first (lo,hi) round fits. An EXHIBIT,
+      // not the gate metric — separate "scaling_alt" key, never feeds
+      // "efficiency".
+      val doAlt = sys.env.getOrElse("SPARK_GRAFT_SCALING_ALT", "1") != "0"
+      runAltExhibit = () => if (doAlt) {
+        try {
+          val (altLo, altHi) = sys.env.get("SPARK_GRAFT_SCALING_CPUS_ALT") match {
+            case Some(s) => val Array(l, h) = s.split(","); (l.trim.toInt, h.trim.toInt)
+            case None => (math.max(1, cpus / 8), math.max(2, cpus / 2))
+          }
+          val altPoints =
+            sys.env.get("SPARK_GRAFT_SCALE_POINTS_ALT").map(_.toLong)
+              .getOrElse(smallPoints)
+          val firstRoundCost =
+            altPoints * (perPointLo / 2 + perPointHi) * windowSlow + 2 * fixedAttemptS
+          if (gRemaining < firstRoundCost) {
+            System.err.println(f"[bench] skipping alt exhibit " +
+              f"(remaining=${gRemaining}%.0fs < ${firstRoundCost}%.0fs)")
+          } else {
+            val alt = scala.collection.mutable.ArrayBuffer.empty[Attempt]
+            def go(c: Int): Unit =
+              try { attemptAt(alt, c, altPoints, "scaling_alt") }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] alt attempt (cpus=$c) failed: $e") }
+            Seq(altLo, altHi).foreach(go)
+            Seq(altHi, altLo).foreach(c => if (gRemaining > firstRoundCost / 2) go(c))
+            def bestOf(c: Int): Option[Attempt] = {
+              val mine = alt.filter(_.cpus == c).toSeq
+              val clean = mine.filter(_.clean)
+              (if (clean.nonEmpty) clean else mine).sortBy(_.sec).headOption
+            }
+            (bestOf(altLo), bestOf(altHi)) match {
+              case (Some(bl), Some(bh)) =>
+                val effA = (bh.thr / bl.thr) / (altHi.toDouble / altLo)
+                val attemptsJ = alt.map(a =>
+                  f"""{"cpus":${a.cpus},"sec":${a.sec}%.3f,"steal":${a.steal}%.4f,"clean":${a.clean},"dram":${a.dram}%.1f,"flops":${a.flops}%.1f}""")
+                  .mkString("[", ",", "]")
+                altJson =
+                  f""","scaling_alt":{"points":$altPoints,"cpus_lo":$altLo,"cpus_hi":$altHi,"sec_lo":${bl.sec}%.3f,"sec_hi":${bh.sec}%.3f,"rows_per_sec_lo":${bl.thr}%.1f,"rows_per_sec_hi":${bh.thr}%.1f,"efficiency":$effA%.3f,"host":{"dram_lo":${bl.dram}%.1f,"dram_hi":${bh.dram}%.1f,"flops_lo":${bl.flops}%.1f,"flops_hi":${bh.flops}%.1f},"attempts":$attemptsJ,"note":"bus-ceiling exhibit at (cpus/8,cpus/2): the shared-DRAM host caps scan-shaped scaling at this pair; the gate metric is the uncontended (cpus/16,cpus/4) pair above"}"""
+              case _ => ()
+            }
+          }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] scaling_alt failed (non-fatal): $e")
         }
@@ -678,16 +755,76 @@ object Bench {
           val attemptsJson = attempts.map(a =>
             f"""{"cpus":${a.cpus},"sec":${a.sec}%.3f,"steal":${a.steal}%.4f,"clean":${a.clean},"dram":${a.dram}%.1f,"flops":${a.flops}%.1f}""")
             .mkString("[", ",", "]")
-          s""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"incomplete":true,"partial":true,"attempts":$attemptsJson}$altJson"""
+          s""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"incomplete":true,"partial":true,"attempts":$attemptsJson}$smallJson$altJson"""
         }
     }
 
-    // stage 2: the suite (headline queries first), with the completed study
-    // already embedded in every partial write; stage 3: the alt exhibit,
-    // then the final summary re-render picks up its JSON fragment
+    // ---- stage 2: the sf-dir suite (headline queries first), with the
+    // completed study already embedded in every partial write.
+    // Storm-robustness (VERDICT.md r02 #1) lives in the child protocol
+    // (per-attempt /proc/stat steal, min-of-attempts, dirty-only third
+    // attempts); deadline-robustness (r04 #1) lives here: as the global
+    // clock tightens, children are told to skip second attempts on
+    // sub-1.5 s queries (TIGHT), then to run single attempts — queries are
+    // NEVER dropped (a complete 41-query suite with some single-attempt
+    // readings beats a clean half-suite).
     scalingStr = renderScaling()
     writeSummary()
+    def runSuite(): Unit = {
+      var childSecs = List.empty[Double] // completed child wall times
+      batches.zipWithIndex.foreach { case (batch, bi) =>
+        val batchesLeft = batches.size - bi
+        // estimate from measured children (median); before any child has
+        // completed, seed with the bare spin-up cost rather than the
+        // (deliberately conservative) reserve model — the reserve over-
+        // estimates per-child cost ~2x, and an inflated first estimate
+        // would put the HEADLINE batches (which run first, when remaining
+        // budget is largest) on degraded attempts while the cheap tail ran
+        // full ones
+        val perChildEst =
+          if (childSecs.nonEmpty) childSecs.sorted.apply(childSecs.size / 2)
+          else 30.0 * math.min(windowSlow, 1.5)
+        val projected = perChildEst * batchesLeft
+        val tight = projected > gRemaining * 0.85
+        val single = projected > gRemaining * 1.25
+        val envExtra = Map(
+          "SPARK_GRAFT_SUITE_CHILD" -> batch.mkString(","),
+          "SPARK_GRAFT_SF_DIR" -> sfDir,
+          "SPARK_GRAFT_CPUS" -> cpus.toString) ++
+          (if (single) Map("SPARK_GRAFT_SUITE_ATTEMPTS" -> "1")
+          else if (tight) Map("SPARK_GRAFT_SUITE_TIGHT" -> "1")
+          else Map.empty[String, String])
+        if (tight || single) System.err.println(
+          f"[bench] deadline pressure: projected=${projected}%.0fs " +
+            f"remaining=${gRemaining}%.0fs -> ${if (single) "single-attempt" else "tight"}")
+        val (childWall, (rc, out)) = { val t0 = System.nanoTime()
+          val r = spawnChild(envExtra); ((System.nanoTime() - t0) / 1e9, r) }
+        childSecs ::= childWall
+        val byName = out.collect { case l if l.startsWith("SUITE_ATTEMPT ") =>
+          val f = l.split(" ")
+          (f(1), QAttempt(f(2).toDouble, f(3).toLong, f(4).toDouble))
+        }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        batch.foreach { name =>
+          val as = byName.getOrElse(name, {
+            System.err.println(s"[bench] $name child produced no attempts, rc=$rc")
+            List(QAttempt(-1.0, -1L, 0.0))
+          })
+          as.foreach(a => System.err.println(
+            f"[bench] $name%-26s ${a.sec}%8.2f s  ${a.rows}%10d rows steal=${a.steal * 100}%.1f%%"))
+          resultsBuf += (name -> as)
+        }
+        writeSummary()
+      }
+    }
     if (doSuite) runSuite()
+    writeSummary()
+    // stages 3 + 4: reduced-point corroboration pair, then the bus-ceiling
+    // exhibit on whatever budget remains; re-render after each so the
+    // fragments land in both files even if the process dies before the
+    // final println
+    runSmallPair()
+    scalingStr = renderScaling()
+    writeSummary()
     runAltExhibit()
     scalingStr = renderScaling()
     writeSummary()
@@ -696,38 +833,9 @@ object Bench {
     // line above grew past the driver's stdout-tail capture window in r03
     // ("parsed": null — the tail started mid-line), so the machine gate read
     // nothing. This line carries only the gate-relevant numbers (< 1 KB by
-    // construction: suite total, headline throughput, headline per-query
-    // seconds, scaling efficiencies + pass booleans) and is printed LAST so
-    // any tail window that holds one whole line holds it. The full evidence
-    // stays in the file (BENCH_LOCAL.json) and the full line above; a
-    // second mirror file carries this compact form.
-    val compact = {
-      val picked = resultsBuf.toSeq.map { case (n, as) => n -> best(as) }
-      val total = picked.map(_._2.sec).filter(_ >= 0).sum
-      val headPicked = picked.filter(r => headline.contains(r._1))
-      val headRows = headPicked.map(_._2.rows).filter(_ >= 0).sum
-      val headSec = headPicked.map(_._2.sec).filter(_ >= 0).sum
-      val thr = if (headSec > 0) headRows / headSec else 0.0
-      val qs = headPicked.map { case (k, a) => f""""$k":${a.sec}%.2f""" }
-        .mkString("{", ",", "}")
-      // pull the gate numbers back out of the scaling fragment rather than
-      // re-deriving them (the fragment is the single source of truth)
-      def grab(key: String): String =
-        s""""$key":(-?[0-9.]+)""".r.findFirstMatchIn(scalingStr)
-          .map(_.group(1)).getOrElse("null")
-      val eff = grab("efficiency")
-      val effMed = grab("efficiency_median")
-      val effHost = grab("efficiency_hostrel")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${picked.size},""" +
-        f""""join_output_rows_per_sec":$thr%.1f,"queries":$qs,""" +
-        s""""scaling_efficiency":$eff,"scaling_efficiency_median":$effMed,""" +
-        s""""scaling_efficiency_hostrel":$effHost,""" +
-        s""""scaling_pass":${if (eff == "null") "null" else (eff.toDouble >= 0.8).toString},""" +
-        s""""cpus":$cpus,"sf":"$sfEsc","full":"BENCH_LOCAL.json"}"""
-    }
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SUMMARY.json"), compact + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write BENCH_SUMMARY.json failed: $e") }
-    println(compact)
+    // construction) and is printed LAST so any tail window that holds one
+    // whole line holds it. The same text lives in BENCH_SUMMARY.json,
+    // rewritten at every checkpoint above.
+    println(compactJson())
   }
 }

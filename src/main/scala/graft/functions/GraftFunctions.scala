@@ -45,6 +45,7 @@ object GraftFunctions {
     "st_convex_hull" -> (e => StConvexHull(t(e(0)))),
     "st_obb" -> (e => StObb(t(e(0)))),
     "st_bbox" -> (e => StBbox(t(e(0)))),
+    "st_stitch_rings" -> (e => StStitchRings(e(0))),
     "st_x" -> (e => StX(t(e(0)))),
     "st_y" -> (e => StY(t(e(0)))),
     "planar_dist" -> (e => PlanarDist(d(e(0)), d(e(1)), d(e(2)), d(e(3)))),
@@ -99,6 +100,7 @@ object GraftFunctions {
   def st_convex_hull(wkt: Column): Column = call_function("st_convex_hull", wkt)
   def st_obb(wkt: Column): Column = call_function("st_obb", wkt)
   def st_bbox(wkt: Column): Column = call_function("st_bbox", wkt)
+  def st_stitch_rings(segs: Column): Column = call_function("st_stitch_rings", segs)
   def st_x(wkt: Column): Column = call_function("st_x", wkt)
   def st_y(wkt: Column): Column = call_function("st_y", wkt)
   def planar_dist(x1: Column, y1: Column, x2: Column, y2: Column): Column =

@@ -169,30 +169,25 @@ object GeometryBuild {
    *    point-in-ring (VERDICT.md r03 #4 — bbox containment mis-nested holes
    *    under overlapping-bbox outers), falling back to the first outer ring.
    *
-   * Plan shape: two equi-joins + two per-relation aggregations; the fold and
-   * all geometry arithmetic are per-row higher-order expressions over
-   * relation-sized arrays — bounded per-relation work, no extra shuffle.
-   * Cost note: the global match scans the unconsumed list per step (O(S²)
-   * index scans per relation) — fine through the hundreds-of-segments
-   * regime of real boundary relations; a relation with tens of thousands of
-   * segments would want this fold re-hosted in a native Expression with a
-   * hash endpoint index (same contract, constant-factor change).
+   * Plan shape: two equi-joins + two per-relation aggregations; the
+   * assembly itself is ONE native expression per (relation, role) row
+   * (st_stitch_rings — hash endpoint index + deque chain, O(S log S +
+   * points) per relation, StStitchRings scaladoc) and the remaining
+   * geometry arithmetic (shoelace, ray-cast nesting, WKT) stays
+   * higher-order expressions over relation-sized arrays — bounded
+   * per-relation work, no extra shuffle. The r04 shape ran the same
+   * contract as a 2S-step `aggregate` fold that filter-scanned the
+   * unconsumed array per step — O(S²) element_at scans plus O(S·points)
+   * chain copies, a task-staller at osm2rdf's 10k-segment coastline
+   * relations (VERDICT.md r04 missing #3); the expression is the
+   * same-contract constant-factor replacement (GeometryStitchSpec asserts
+   * a 1k-segment scrambled ring stitches in bounded time, plus the
+   * permutation/reversal property suite and the DuckDB oracle replay).
    */
   def buildRelPolygonsStitched(relMembers: DataFrame, wayMembers: DataFrame,
                                nodeGeoms: DataFrame): DataFrame = {
     val ptType = "array<struct<n:bigint,x:double,y:double>>"
-    def emptyChain = array().cast(ptType)
     def emptyRings = array().cast(s"array<$ptType>")
-    def firstN(c: Column) = element_at(c, 1).getField("n")
-    def lastN(c: Column) = element_at(c, -1).getField("n")
-    def closeRing(c: Column) = when(firstN(c) === lastN(c), c)
-      .otherwise(concat(c, slice(c, 1, 1)))
-    def tail(s: Column) = slice(s, lit(2), size(s) - 1)
-    // assembler state: unconsumed segments / closed rings / open chain /
-    // force-close count
-    def state(rem: Column, rings: Column, chain: Column, forced: Column) =
-      struct(rem.as("rem"), rings.as("rings"), chain.as("chain"),
-        forced.as("forced"))
 
     val segs = wayMembers
       .join(nodeGeoms.withColumnRenamed("id", "node_id"), Seq("node_id"))
@@ -211,53 +206,8 @@ object GeometryBuild {
       .select(col("rel_id"), col("role"),
         transform(col("m"), _.getField("seg")).as("segs"))
 
-    def touches(seg: Column, chain: Column): Column =
-      firstN(seg) === lastN(chain) || lastN(seg) === lastN(chain) ||
-        lastN(seg) === firstN(chain) || firstN(seg) === firstN(chain)
-    def extendChain(chain: Column, seg: Column): Column =
-      when(firstN(seg) === lastN(chain), concat(chain, tail(seg)))
-        .when(lastN(seg) === lastN(chain), concat(chain, tail(reverse(seg))))
-        .when(lastN(seg) === firstN(chain), concat(seg, tail(chain)))
-        .otherwise(concat(reverse(seg), tail(chain)))
-    // One assembler step. Branch order keeps every array access guarded
-    // (CaseWhen and And/Or evaluate lazily): `matches` only evaluates when
-    // rem is nonempty, element_at(matches, 1) only when matches is nonempty.
-    def step(acc: Column): Column = {
-      val rem = acc.getField("rem"); val rings = acc.getField("rings")
-      val chain = acc.getField("chain"); val forced = acc.getField("forced")
-      val matches = filter(sequence(lit(1), size(rem)),
-        i => touches(element_at(rem, i), chain))
-      val idx = element_at(matches, 1)
-      val forcedInc = when(firstN(chain) === lastN(chain), lit(0)).otherwise(lit(1))
-      val s1 = when(size(chain) === 0 && size(rem) === 0, acc) // done
-        .when(size(chain) === 0, // seed from the first unconsumed segment
-          state(slice(rem, lit(2), size(rem) - 1), rings, element_at(rem, 1), forced))
-        .when(size(rem) === 0 || size(matches) === 0, // no touching segment
-          state(rem, concat(rings, array(closeRing(chain))), emptyChain,
-            forced + forcedInc))
-        .otherwise(state( // consume the lowest-indexed touching segment
-          concat(slice(rem, lit(1), idx - 1), slice(rem, idx + 1, size(rem) - idx)),
-          rings, extendChain(chain, element_at(rem, idx)), forced))
-      val c2 = s1.getField("chain")
-      when(size(c2) >= 4 && firstN(c2) === lastN(c2),
-        state(s1.getField("rem"),
-          concat(s1.getField("rings"), array(c2)), emptyChain,
-          s1.getField("forced")))
-        .otherwise(s1)
-    }
     val folded = rsegs.select(col("rel_id"), col("role"),
-      aggregate(sequence(lit(1), size(col("segs")) * 2),
-        state(col("segs"), emptyRings, emptyChain, lit(0)),
-        (acc, _) => step(acc),
-        // 2*|segs| steps provably finish (see contract above); the final
-        // close is defensive parity with the oracle's identical finish
-        f => struct(
-          when(size(f.getField("chain")) === 0, f.getField("rings"))
-            .otherwise(concat(f.getField("rings"),
-              array(closeRing(f.getField("chain"))))).as("rings"),
-          (f.getField("forced") + when(size(f.getField("chain")) === 0, 0)
-            .when(firstN(f.getField("chain")) === lastN(f.getField("chain")), 0)
-            .otherwise(1)).as("forced"))).as("st"))
+        st_stitch_rings(col("segs")).as("st"))
       .select(col("rel_id"), col("role"),
         col("st").getField("rings").as("rings"),
         col("st").getField("forced").as("forced"))

@@ -115,14 +115,15 @@ object SpatialJoins {
   def knnJoin(queries: DataFrame, targets: DataFrame, k: Int,
               levels: Seq[Int] = Seq(20, 18, 16, 14, 12, 10, 8, 6),
               ringK: Int = 2, proofFactor: Int = 32,
-              broadcastQueries: Boolean = true): DataFrame = {
+              broadcastQueries: Boolean = true,
+              queryCountHint: Option[Long] = None): DataFrame = {
     require(ringK >= 1 && levels.nonEmpty && levels == levels.sorted.reverse &&
       levels.distinct == levels,
       "levels must be distinct, finest (largest) first")
     val (targetsD, levelCounts, _) =
       prepareKnnTargets(targets, k, levels, ringK, proofFactor)
     knnCore(queries, targetsD, levelCounts, k, levels, ringK, proofFactor,
-      broadcastQueries)
+      broadcastQueries, queryCountHint)
   }
 
   /**
@@ -392,7 +393,8 @@ object SpatialJoins {
    */
   private def knnCore(queries: DataFrame, targetsD: DataFrame,
       levelCounts: DataFrame, k: Int, levels: Seq[Int], ringK: Int,
-      proofFactor: Int, broadcastQueries: Boolean): DataFrame = {
+      proofFactor: Int, broadcastQueries: Boolean,
+      queryCountHint: Option[Long] = None): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("pid"))
     val out = Seq("qid", "pid", "dist", "rank")
     val res = shiftrightunsigned(col("cell"), 56).cast("int")
@@ -473,7 +475,11 @@ object SpatialJoins {
     // the full corpus — empty-broadcast elimination is not guaranteed
     // pre-AQE — so spend three sub-second aggregates over the per-query
     // proof table to cut whole corpus passes.
-    val nQueriesTotal = queries.count()
+    // the hint shaves one full action (a job round-trip that no parallelism
+    // shrinks — it is pure fixed cost, the Amdahl term that caps what a
+    // reduced-point scaling study can read); callers that generate their
+    // query set (the Bench scaling job) know the count statically
+    val nQueriesTotal = queryCountHint.getOrElse(queries.count())
     // one aggregate job for both branch-pruning counts (each Spark action
     // costs fixed scheduling latency that no cores shrink)
     val (nProven, nNeeds) = tt("proof counts") {

