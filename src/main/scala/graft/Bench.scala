@@ -98,7 +98,15 @@ object Bench {
    * codegen classloaders that degrade JIT state (measured 1.7-4x slowdowns
    * on queries run 20+ plans into one session), and separate JVMs are the
    * honest analogue of separate spark-submit runs. */
-  private def spawnChild(env: Map[String, String]): (Int, List[String]) = {
+  /** `timeoutS > 0` arms a watchdog: a child that exceeds it is forcibly
+   * killed and reports rc -999 with whatever stdout it produced. Without
+   * one, a single hung child (Spark deadlock, runaway GC) blocks the
+   * parent in waitFor() until the DRIVER's external limit kills the whole
+   * bench mid-stage — exactly the rc-124 failure the global budget exists
+   * to prevent (review finding). stdout is drained on a daemon thread so
+   * the kill path cannot lose already-emitted attempt lines. */
+  private def spawnChild(env: Map[String, String],
+                         timeoutS: Double = 0.0): (Int, List[String]) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments
@@ -121,8 +129,24 @@ object Bench {
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val p = pb.start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
-    (p.waitFor(), out)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val reader = new Thread(() =>
+      try scala.io.Source.fromInputStream(p.getInputStream).getLines()
+        .foreach(l => lines.synchronized { lines += l })
+      catch { case _: Throwable => () })
+    reader.setDaemon(true); reader.start()
+    val finished =
+      if (timeoutS <= 0) { p.waitFor(); true }
+      else p.waitFor(math.max(1000L, (timeoutS * 1000).toLong),
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    if (!finished) {
+      System.err.println(f"[bench] child exceeded ${timeoutS}%.0fs watchdog — killing")
+      p.destroyForcibly()
+      p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
+    reader.join(5000)
+    (if (finished) p.exitValue() else -999, lines.synchronized { lines.toList })
   }
 
   /** (steal ticks, total ticks) from /proc/stat — the host-noise probe both
@@ -331,8 +355,8 @@ object Bench {
       if (acc.nonEmpty) b += acc.toSeq
       b.toSeq
     }
-    val suiteReserveS =
-      batches.size * 28.0 * math.min(windowSlow, 1.6) + 170.0 * windowSlow
+    val suiteReserveS = if (!doSuite) 0.0
+      else batches.size * 28.0 * math.min(windowSlow, 1.6) + 170.0 * windowSlow
     // the reduced-point corroboration pair (stage 3) gets its own reserve so
     // the main study cannot eat it (VERDICT.md r04 #4: both measurements)
     val smallPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_POINTS_SMALL", "250000000").toLong
@@ -347,25 +371,36 @@ object Bench {
     // (Amdahl: ~0.94 at 1B, ~0.90 at 500M, ~0.82 at 250M even for perfect
     // operators) — the gate pair wants the biggest job the window can
     // finish, with the small pair (stage 3) as the always-affordable second
-    // measurement. Env overrides pin points/rounds explicitly.
-    val studyBudgetS = math.max(0.0,
+    // measurement. Env overrides pin points/rounds explicitly. TWO-PASS
+    // (review finding): when the first pass lands ON smallPoints, stage 3
+    // would be skipped as redundant — so its reserve is re-granted to the
+    // study, which may then afford the next size up (better Amdahl ceiling
+    // in exactly the windows where the gate margin is thin).
+    def studyBudgetFor(smallRes: Double): Double = math.max(0.0,
       sys.env.get("SPARK_GRAFT_SCALING_BUDGET_S").map(_.toDouble)
-        .getOrElse(gRemaining - suiteReserveS - smallReserveS - 40.0))
-    val (scalePoints, rounds) = {
+        .getOrElse(gRemaining - suiteReserveS - smallRes - 40.0))
+    val (scalePoints, rounds, studyBudgetS) = {
       val pinnedP = sys.env.get("SPARK_GRAFT_SCALE_POINTS").map(_.toLong)
       val pinnedR = sys.env.get("SPARK_GRAFT_SCALING_ROUNDS").map(_.toInt)
       def floorCost(p: Long, r: Int): Double =
         math.min(2, r) * (attemptCost(p, lo = true) + attemptCost(p, lo = false))
-      (pinnedP, pinnedR) match {
+      def choose(budget: Double): (Long, Int) = (pinnedP, pinnedR) match {
         case (Some(p), Some(r)) => (p, r)
         case _ =>
           val candidates = for {
             p <- pinnedP.map(Seq(_)).getOrElse(Seq(1000000000L, 500000000L, 250000000L))
             r <- pinnedR.map(Seq(_)).getOrElse(Seq(3, 2, 1))
           } yield (p, r)
-          candidates.find { case (p, r) => floorCost(p, r) <= studyBudgetS }
+          candidates.find { case (p, r) => floorCost(p, r) <= budget }
             .getOrElse((pinnedP.getOrElse(250000000L), pinnedR.getOrElse(1)))
       }
+      val b1 = studyBudgetFor(smallReserveS)
+      val first = choose(b1)
+      if (first._1 == smallPoints && smallReserveS > 0) {
+        val b2 = studyBudgetFor(0.0)
+        val second = choose(b2)
+        (second._1, second._2, b2)
+      } else (first._1, first._2, b1)
     }
     System.err.println(f"[bench] plan: study points=$scalePoints rounds=$rounds " +
       f"(study_budget=${studyBudgetS}%.0fs suite_reserve=${suiteReserveS}%.0fs " +
@@ -426,9 +461,19 @@ object Bench {
       val qs = headPicked.map { case (k, a) => f""""$k":${a.sec}%.2f""" }
         .mkString("{", ",", "}")
       // pull the gate numbers back out of the scaling fragment rather than
-      // re-deriving them (the fragment is the single source of truth)
+      // re-deriving them (the fragment is the single source of truth).
+      // SCOPED to the main "scaling" object: the scaling_small/scaling_alt
+      // fragments appended after it carry their own "efficiency" keys, and
+      // an incomplete main study (no efficiency emitted) must read null in
+      // the gate columns, not silently borrow an exhibit's number (review
+      // finding)
+      val mainScaling = {
+        val cut = Seq(""","scaling_small":""", ""","scaling_alt":""")
+          .map(scalingStr.indexOf).filter(_ >= 0)
+        if (cut.isEmpty) scalingStr else scalingStr.substring(0, cut.min)
+      }
       def grab(key: String): String =
-        s""""$key":(-?[0-9.]+)""".r.findFirstMatchIn(scalingStr)
+        s""""$key":(-?[0-9.]+)""".r.findFirstMatchIn(mainScaling)
           .map(_.group(1)).getOrElse("null")
       val eff = grab("efficiency")
       val effMed = grab("efficiency_median")
@@ -474,9 +519,13 @@ object Bench {
       //     guaranteed attempt count — min(2, rounds) — so noise cannot
       //     help one side of the ratio more than the other.
       def measuredOnce(cpus: Int, points: Long): (Long, Double, Double, Double) = {
+        // watchdog at ~2.5x the pessimistic (lo-level) cost estimate: only
+        // a genuinely wedged child trips it, and one hung attempt must not
+        // eat the remaining stages (review finding)
+        val watchdog = 2.5 * attemptCost(points, lo = true) + 300.0
         val (rc, outLines) = spawnChild(Map(
           "SPARK_GRAFT_SCALING_CHILD" -> cpus.toString,
-          "SPARK_GRAFT_SCALE_POINTS" -> points.toString))
+          "SPARK_GRAFT_SCALE_POINTS" -> points.toString), watchdog)
         outLines.collectFirst {
           case l if l.startsWith("SCALING_CHILD ") =>
             val f = l.split(" ")
@@ -657,7 +706,13 @@ object Bench {
       // fixed overhead (~20 s driver latency) caps its ceiling at ~0.82-0.9
       // even for perfect operators, which is why it corroborates the main
       // study rather than replacing it (note in the JSON).
-      runSmallPair = () => if (smallPoints < scalePoints) {
+      // entry gates: redundant when the main study already ran at this
+      // size; and when the two-pass sizing re-granted the small reserve to
+      // a bigger main study, the pair only runs on budget the suite
+      // genuinely left over (the suite reserve is deliberately
+      // conservative, so this is common in ordinary windows)
+      runSmallPair = () => if (smallPoints < scalePoints &&
+          gRemaining > smallReserveS) {
         try {
           val small = scala.collection.mutable.ArrayBuffer.empty[Attempt]
           def go(c: Int): Unit =
@@ -798,7 +853,10 @@ object Bench {
           f"[bench] deadline pressure: projected=${projected}%.0fs " +
             f"remaining=${gRemaining}%.0fs -> ${if (single) "single-attempt" else "tight"}")
         val (childWall, (rc, out)) = { val t0 = System.nanoTime()
-          val r = spawnChild(envExtra); ((System.nanoTime() - t0) / 1e9, r) }
+          // generous watchdog (5x the running estimate): a wedged child
+          // yields rc -999 with its partial attempt lines still parsed
+          val r = spawnChild(envExtra, math.max(420.0, perChildEst * 5))
+          ((System.nanoTime() - t0) / 1e9, r) }
         childSecs ::= childWall
         val byName = out.collect { case l if l.startsWith("SUITE_ATTEMPT ") =>
           val f = l.split(" ")

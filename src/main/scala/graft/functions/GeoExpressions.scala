@@ -444,8 +444,12 @@ case class StStitchRings(child: Expression)
     val consumed = new Array[Boolean](s)
     def consume(ix: Int): Unit = {
       consumed(ix) = true
-      bucket(segs(ix).head.n).remove(ix)
-      bucket(segs(ix).last.n).remove(ix)
+      // empty segments were never bucketed (defensive skip in the seed
+      // scan) — touching .head/.last here would throw on exactly them
+      if (segs(ix).nonEmpty) {
+        bucket(segs(ix).head.n).remove(ix)
+        bucket(segs(ix).last.n).remove(ix)
+      }
       ()
     }
     val rings = new scala.collection.mutable.ArrayBuffer[Array[Pt]]()
@@ -499,15 +503,23 @@ case class StStitchRings(child: Expression)
           closeChainToRing()
         } else {
           val sg = segs(ix)
-          // orientation precedence mirrors the documented contract order
-          if (sg.head.n == tN) {
+          // orientation precedence mirrors the documented contract order —
+          // and WHICH copy of the shared endpoint survives matches the
+          // fold/oracle exactly (append keeps the chain's copy: tail(seg)
+          // drops seg's; prepend keeps the SEG's copy: tail(chain) drops
+          // the chain's). Identical only matters for dirty inputs where
+          // one node id carries two coordinate values, but the oracle
+          // replay is bit-for-bit either way (review finding).
+          if (sg.head.n == tN) { // chain ++ tail(seg)
             var j = 1; while (j < sg.length) { chain.addLast(sg(j)); j += 1 }
-          } else if (sg.last.n == tN) {
+          } else if (sg.last.n == tN) { // chain ++ tail(reverse(seg))
             var j = sg.length - 2; while (j >= 0) { chain.addLast(sg(j)); j -= 1 }
-          } else if (sg.last.n == hN) {
-            var j = sg.length - 2; while (j >= 0) { chain.addFirst(sg(j)); j -= 1 }
-          } else { // sg.head.n == hN
-            var j = 1; while (j < sg.length) { chain.addFirst(sg(j)); j += 1 }
+          } else if (sg.last.n == hN) { // seg ++ tail(chain)
+            chain.pollFirst()
+            var j = sg.length - 1; while (j >= 0) { chain.addFirst(sg(j)); j -= 1 }
+          } else { // sg.head.n == hN: reverse(seg) ++ tail(chain)
+            chain.pollFirst()
+            var j = 0; while (j < sg.length) { chain.addFirst(sg(j)); j += 1 }
           }
           consume(ix); remaining -= 1
         }

@@ -112,6 +112,15 @@ object SpatialJoins {
    * @param targets (pid, lon, lat)
    * @return (qid, pid, dist, rank) with rank in [1, k]
    */
+  /**
+   * @param queryCountHint the EXACT row count of `queries`, when the caller
+   *        knows it statically (a generated query set) — saves one count()
+   *        job of pure fixed driver latency. CORRECTNESS-load-bearing, not
+   *        advisory: it decides whether the brute backstop for queries with
+   *        fewer than k in-ring candidates runs at all, so an UNDER-count
+   *        silently drops those queries from the result (review finding).
+   *        Pass None (default) unless the count is exact.
+   */
   def knnJoin(queries: DataFrame, targets: DataFrame, k: Int,
               levels: Seq[Int] = Seq(20, 18, 16, 14, 12, 10, 8, 6),
               ringK: Int = 2, proofFactor: Int = 32,
@@ -705,7 +714,10 @@ object SpatialJoins {
    * shuffled-hash join. true (default) = broadcast the exploded query side
    * (right for bounded query batches); false = hint shuffle_hash on the
    * target side so both sides stay distributed (right for self-joins and
-   * corpus-sized query sets).
+   * corpus-sized query sets). NOTE the default FORCES the broadcast
+   * (hints override autoBroadcastJoinThreshold): a corpus-sized query set
+   * MUST pass false or the driver builds a 9x|queries|-row hashed relation
+   * — the same caller contract as [[knnJoin]]'s broadcastQueries.
    *
    * @param queries (qid, qlon, qlat)
    * @param targets (pid, lon, lat)
@@ -800,7 +812,11 @@ object SpatialJoins {
       .where(planar_dist(col("qlon"), col("qlat"), col("lon"), col("lat")) < lit(eps) &&
         col("qid") =!= col("pid") && // multi-location pid: no self-loops
         (!sameCell || col("qid") < col("pid")))
-      .select(col("qid").as("src"), col("pid").as("dst"))
+      // cast like the connectedComponents wrapper does: the CC driver fast
+      // path reads long edge columns, and an IntegerType pid would CCE
+      // there (review finding — the old distJoin->connectedComponents path
+      // normalized doc_a/doc_b the same way)
+      .select(col("qid").cast("long").as("src"), col("pid").cast("long").as("dst"))
       .localCheckpoint() // computed once; both union branches below read it
     // symmetric list for the CC kernel: two projections of the CHECKPOINT —
     // no recompute, no distinct (a multi-location pid can repeat a pair,
