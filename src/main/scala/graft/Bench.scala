@@ -63,6 +63,15 @@ object Bench {
    */
   val solo: Set[String] = headline.toSet ++ Set("geo_cluster", "knn_join_indexed")
 
+  /** Study sizing kernel (pure, spec-pinned by BenchSizingSpec): first
+   * (points, rounds) in the given preference order whose symmetric floor
+   * cost fits `budget`, else `fallback`. Points are ordered before rounds
+   * by the CALLER (see the Amdahl note at the use site). */
+  private[graft] def sizeStudy(budget: Double, pts: Seq[Long], rounds: Seq[Int],
+      floorCost: (Long, Int) => Double, fallback: (Long, Int)): (Long, Int) =
+    (for { p <- pts; r <- rounds } yield (p, r))
+      .find { case (p, r) => floorCost(p, r) <= budget }.getOrElse(fallback)
+
   private def withSession[T](cpus: Int)(f: SparkSession => T): T = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -386,13 +395,11 @@ object Bench {
         math.min(2, r) * (attemptCost(p, lo = true) + attemptCost(p, lo = false))
       def choose(budget: Double): (Long, Int) = (pinnedP, pinnedR) match {
         case (Some(p), Some(r)) => (p, r)
-        case _ =>
-          val candidates = for {
-            p <- pinnedP.map(Seq(_)).getOrElse(Seq(1000000000L, 500000000L, 250000000L))
-            r <- pinnedR.map(Seq(_)).getOrElse(Seq(3, 2, 1))
-          } yield (p, r)
-          candidates.find { case (p, r) => floorCost(p, r) <= budget }
-            .getOrElse((pinnedP.getOrElse(250000000L), pinnedR.getOrElse(1)))
+        case _ => sizeStudy(budget,
+          pinnedP.map(Seq(_)).getOrElse(Seq(1000000000L, 500000000L, 250000000L)),
+          pinnedR.map(Seq(_)).getOrElse(Seq(3, 2, 1)),
+          floorCost,
+          (pinnedP.getOrElse(250000000L), pinnedR.getOrElse(1)))
       }
       val b1 = studyBudgetFor(smallReserveS)
       val first = choose(b1)
