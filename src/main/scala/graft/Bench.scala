@@ -704,6 +704,33 @@ object Bench {
         tryAttempt(dirtyLevels(topUps % dirtyLevels.size))
         topUps += 1
       }
+      // SELF-EXPANDING rounds: the pre-probe sized the schedule from a
+      // model, but when attempts come in FASTER than predicted, spend the
+      // study budget the model already granted — keep adding full
+      // alternating-order rounds while a pair at MEASURED cost still fits.
+      // Expansion keys on budget and measured attempt cost only, never on
+      // the efficiency value (a pass-conditioned stopping rule would bias
+      // the report — same principle as the fixed schedule, ADVICE.md r02).
+      // Each extra round mirrors the previous order, so a 1-round degraded
+      // window that turns out fast still gets the order-balanced second
+      // round the temporal-pairing methodology prefers.
+      def measuredPairCost: Double = {
+        val lo = attempts.filter(_.cpus == cpusLo).map(_.sec)
+        val hi = attempts.filter(_.cpus == cpusHi).map(_.sec)
+        if (lo.isEmpty || hi.isEmpty) Double.MaxValue
+        else lo.min + hi.min + 2 * fixedAttemptS
+      }
+      var extra = 0
+      while (extra < 6 && elapsed + measuredPairCost < studyBudgetS) {
+        // this expansion is round number rounds+extra+1; same parity rule
+        // as the fixed schedule (even rounds run hi-first)
+        val order = if ((rounds + extra + 1) % 2 == 0) Seq(cpusHi, cpusLo)
+          else Seq(cpusLo, cpusHi)
+        System.err.println(f"[bench] expanding study: round ${rounds + extra + 1} " +
+          f"(measured pair ${measuredPairCost}%.0fs fits ${studyBudgetS - elapsed}%.0fs left)")
+        order.foreach(tryAttempt)
+        extra += 1
+      }
 
       // ---- stage 3 (run after the suite): the REDUCED-POINT (lo,hi) pair
       // (VERDICT.md r04 #4) — the same gate pair at smallPoints, one
