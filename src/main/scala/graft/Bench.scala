@@ -666,7 +666,7 @@ object Bench {
         val hLo = chosen.map(_._1).getOrElse(bestLo)
         val hHi = chosen.map(_._2).getOrElse(bestHi)
         val hostJson = f""""host":{"dram_lo":${hLo.dram}%.1f,"dram_hi":${hHi.dram}%.1f,"flops_lo":${hLo.flops}%.1f,"flops_hi":${hHi.flops}%.1f}"""
-        f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":$secLo%.3f,"sec_hi":$secHi%.3f,"rows_per_sec_lo":$thrLo%.1f,"rows_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMed%.3f,"efficiency_hostrel":$effHostRel%.3f,"efficiency_bestattempt":$effAttempt%.3f,"efficiency_median_bestattempt":$effMedAttempt%.3f,"rounds_paired":$roundsJson,"partial":$partial,"steal_max":$stealMax,"rounds":$rounds,"window_slow":$windowSlow%.2f,$hostJson,"attempts":$attemptsJson}$smallJson$altJson"""
+        f""","scaling":{"points":$scalePoints,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"sec_lo":$secLo%.3f,"sec_hi":$secHi%.3f,"rows_per_sec_lo":$thrLo%.1f,"rows_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMed%.3f,"efficiency_hostrel":$effHostRel%.3f,"efficiency_bestattempt":$effAttempt%.3f,"efficiency_median_bestattempt":$effMedAttempt%.3f,"rounds_paired":$roundsJson,"partial":$partial,"steal_max":$stealMax,"rounds":$rounds,"rounds_executed":${rounds0.size},"window_slow":$windowSlow%.2f,$hostJson,"attempts":$attemptsJson}$smallJson$altJson"""
       }
       // persist progress after every attempt once both levels have data —
       // a timeout/kill mid-study must not zero the round's scaling evidence
@@ -711,24 +711,34 @@ object Bench {
       // Expansion keys on budget and measured attempt cost only, never on
       // the efficiency value (a pass-conditioned stopping rule would bias
       // the report — same principle as the fixed schedule, ADVICE.md r02).
-      // Each extra round mirrors the previous order, so a 1-round degraded
-      // window that turns out fast still gets the order-balanced second
-      // round the temporal-pairing methodology prefers.
+      // Guard rails (review findings): the cost predictor is the
+      // PESSIMISTIC per-level max (this host degrades mid-study — an
+      // optimistic min would let one expansion round blow the global
+      // budget), the budget is re-checked between the round's two attempts
+      // (at worst HALF a round overruns, bounded further by the watchdog),
+      // and a SPARK_GRAFT_SCALING_ROUNDS pin disables expansion entirely
+      // (a pinned schedule must run exactly as pinned). Each extra round
+      // starts at the level OPPOSITE the last executed attempt, so the
+      // temporal pairing stays order-balanced even after dirty top-ups.
       def measuredPairCost: Double = {
         val lo = attempts.filter(_.cpus == cpusLo).map(_.sec)
         val hi = attempts.filter(_.cpus == cpusHi).map(_.sec)
         if (lo.isEmpty || hi.isEmpty) Double.MaxValue
-        else lo.min + hi.min + 2 * fixedAttemptS
+        else lo.max + hi.max + 2 * fixedAttemptS
       }
+      val roundsPinned = sys.env.contains("SPARK_GRAFT_SCALING_ROUNDS")
       var extra = 0
-      while (extra < 6 && elapsed + measuredPairCost < studyBudgetS) {
-        // this expansion is round number rounds+extra+1; same parity rule
-        // as the fixed schedule (even rounds run hi-first)
-        val order = if ((rounds + extra + 1) % 2 == 0) Seq(cpusHi, cpusLo)
+      while (!roundsPinned && extra < 6 &&
+        elapsed + measuredPairCost < studyBudgetS) {
+        val order =
+          if (attempts.lastOption.exists(_.cpus == cpusLo)) Seq(cpusHi, cpusLo)
           else Seq(cpusLo, cpusHi)
-        System.err.println(f"[bench] expanding study: round ${rounds + extra + 1} " +
+        System.err.println(f"[bench] expanding study: extra round ${extra + 1} " +
           f"(measured pair ${measuredPairCost}%.0fs fits ${studyBudgetS - elapsed}%.0fs left)")
-        order.foreach(tryAttempt)
+        tryAttempt(order.head)
+        // re-check before the round's second attempt: a mid-round window
+        // collapse must not commit the full pair
+        if (elapsed + measuredPairCost / 2 < studyBudgetS) tryAttempt(order(1))
         extra += 1
       }
 

@@ -28,7 +28,7 @@ class BenchSizingSpec extends AnyFunSuite {
   test("points are preferred over rounds as the budget shrinks") {
     val c = cost(1.1e-6, 4.0e-7, 45.0) _ // real healthy-window constants
     // floors: (1B, >=2 rounds) = 2*(1100+45+400+45) = 3180; (1B,1) = 1590;
-    // (500M,2) = 1670; (500M,1) = 835
+    // (500M,2) = 1680; (500M,1) = 840
     assert(Bench.sizeStudy(2000.0, pts, rounds, c, fallback) === ((1000000000L, 1)))
     assert(Bench.sizeStudy(1000.0, pts, rounds, c, fallback) === ((500000000L, 1)))
   }
