@@ -730,9 +730,15 @@ object Bench {
       var extra = 0
       while (!roundsPinned && extra < 6 &&
         elapsed + measuredPairCost < studyBudgetS) {
-        val order =
-          if (attempts.lastOption.exists(_.cpus == cpusLo)) Seq(cpusHi, cpusLo)
-          else Seq(cpusLo, cpusHi)
+        // ODD attempt count = a dirty top-up left an unpaired attempt:
+        // start at the opposite level so it pairs. EVEN count = mirror the
+        // last attempt's level (the fixed schedule's lo,hi/hi,lo shape), so
+        // neither level systematically gets the fresher slot.
+        val lastLo = attempts.lastOption.exists(_.cpus == cpusLo)
+        val startLo =
+          if (attempts.size % 2 == 1) !lastLo
+          else lastLo
+        val order = if (startLo) Seq(cpusLo, cpusHi) else Seq(cpusHi, cpusLo)
         System.err.println(f"[bench] expanding study: extra round ${extra + 1} " +
           f"(measured pair ${measuredPairCost}%.0fs fits ${studyBudgetS - elapsed}%.0fs left)")
         tryAttempt(order.head)
